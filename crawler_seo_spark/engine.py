@@ -1,0 +1,274 @@
+"""The distributed crawl engine: iterative DataFrame jobs per crawl round.
+
+Spark lifecycle per round (SURVEY §3, north-star design)::
+
+    frontier dequeue (ORDER BY priority DESC, discovery_seq ASC LIMIT B)
+      → per-host politeness schedule (applyInPandas groups)
+      → synthetic fetch (broadcast batch ⋈ page store; HTTP mapInPandas in prod)
+      → Arrow-batched parse/analyze UDF (links, metatags, headings, mixed)
+      → candidate links: posexplode → within-round first-occurrence dedup
+      → Bloom prune + exact anti-join vs seen (J1)
+      → robots admission (allow-all default = reference parity)
+      → deterministic discovery_seq assignment
+      → frontier/seen merge + results/filtered/metrics append
+      → (optional) snapshot commit for bit-identical resume
+
+The driver loop is the only imperative control flow (BFS round barriers are
+batch-synchronous by nature — reference: core/crawler.py:61-93). Crawl order
+is reproduced EXACTLY: dequeue key ``(priority DESC, discovery_seq ASC)``
+replays the reference's two-deque FIFO (core/url_manager.py:386-404), and
+``discovery_seq`` is derived from deterministic inputs — (parent crawl_seq,
+link position on the page) within each round — never from
+``monotonically_increasing_id`` or timing.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import CrawlConfig
+from .functions.parse import analysis_column
+from .functions.urlnorm import base_domain_of, is_priority_col
+from .operators.bloom import ShardedBloom
+from .operators.politeness import schedule_fetches
+from .operators.robots import filter_allowed, robots_table
+from .tables import SnapshotStore
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("priority", T.IntegerType(), False),
+    T.StructField("discovery_seq", T.LongType(), False),
+    T.StructField("round_added", T.IntegerType(), False),
+])
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_md5", T.StringType(), False),
+])
+
+
+@dataclass
+class CrawlState:
+    results: DataFrame          # raw per-page rows (analysis struct attached)
+    frontier: DataFrame         # remaining frontier
+    seen: DataFrame             # registered URL set
+    filtered: DataFrame         # (url, reason, round)
+    rounds: list[dict]          # per-round counters/lineage
+    crawl_order: DataFrame      # (crawl_seq, url, depth, priority, round)
+
+
+class CrawlEngine:
+    """One crawl run over a page-store DataFrame."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 config: CrawlConfig,
+                 robots_rules: dict[str, list[str]] | None = None) -> None:
+        self.spark = spark
+        self.pages = pages
+        self.config = config
+        self.base_domain = base_domain_of(config.seed_url)
+        self.bloom = ShardedBloom(config.bloom_shards,
+                                  config.bloom_bits_per_shard,
+                                  config.bloom_num_hashes)
+        self.robots = (robots_table(spark, robots_rules)
+                       if robots_rules else None)
+        self.store = (SnapshotStore(config.checkpoint_dir)
+                      if config.checkpoint_dir else None)
+
+    # ------------------------------------------------------------------
+    def _seed_frontier(self) -> tuple[DataFrame, DataFrame]:
+        from .functions.urlnorm import canonicalize_url, filter_reason, url_md5
+        seed = canonicalize_url(self.config.seed_url, None, self.base_domain)
+        if seed is None or filter_reason(seed):
+            raise ValueError(f"seed URL rejected: {self.config.seed_url}")
+        # reference seeds with priority=True in smart mode (crawler.py:294)
+        frontier = self.spark.createDataFrame(
+            [(seed, 0, 1 if self.config.smart else 0, 0, 0)], FRONTIER_SCHEMA)
+        seen = self.spark.createDataFrame([(seed, url_md5(seed))], SEEN_SCHEMA)
+        self.bloom.add_urls(seen.select("url"))
+        return frontier, seen
+
+    def _fetch(self, batch: DataFrame) -> DataFrame:
+        """Synthetic fetch: broadcast the (small) batch into a hash join
+        against the page store — the store is streamed, never shuffled.
+        On a real cluster this stage is an HTTP ``mapInPandas`` honoring
+        ``scheduled_offset_ms``; the join is the sandbox's network oracle.
+        """
+        found = self.pages.join(F.broadcast(batch), "url", "inner")
+        missing = batch.join(F.broadcast(
+            self.pages.join(F.broadcast(batch.select("url")), "url",
+                            "left_semi").select("url")), "url", "left_anti")
+        missing_filled = (
+            missing
+            .withColumn("status_code", F.lit(404))
+            .withColumn("content_type", F.lit(""))
+            .withColumn("final_url", F.col("url"))
+            .withColumn("response_time_ms", F.lit(0.0))
+            .withColumn("content_length", F.lit(0))
+            .withColumn("html", F.lit(""))
+            .withColumn("headers",
+                        F.create_map().cast("map<string,string>"))
+            .withColumn("image_ids", F.array().cast("array<string>"))
+            .withColumn("page_index", F.lit(-1))
+        )
+        return found.unionByName(missing_filled.select(*found.columns))
+
+    # ------------------------------------------------------------------
+    def run(self) -> CrawlState:
+        cfg = self.config
+        frontier, seen = self._seed_frontier()
+        frontier = frontier.localCheckpoint(eager=True)
+        seen = seen.localCheckpoint(eager=True)
+
+        results_parts: list[DataFrame] = []
+        filtered_parts: list[DataFrame] = []
+        rounds: list[dict] = []
+        results_count = 0
+        next_discovery_seq = 1  # 0 = seed
+        frontier_count = 1
+        round_id = 0
+
+        while frontier_count > 0 and results_count < cfg.max_urls:
+            t0 = time.monotonic()
+            budget = min(cfg.batch_size, cfg.max_urls - results_count)
+
+            # --- O1/O3: deterministic dequeue --------------------------------
+            batch = (frontier
+                     .orderBy(F.desc("priority"), F.asc("discovery_seq"))
+                     .limit(budget))
+            w = Window.orderBy(F.desc("priority"), F.asc("discovery_seq"))
+            batch = (batch
+                     .withColumn("crawl_seq",
+                                 (F.row_number().over(w) - 1
+                                  + F.lit(results_count)).cast("long"))
+                     .withColumn("round", F.lit(round_id))
+                     .localCheckpoint(eager=True))
+            batch_count = batch.count()
+            if batch_count == 0:
+                break
+
+            # --- S2: per-host politeness schedule ------------------------------
+            batch = schedule_fetches(batch, cfg.requests_per_second)
+
+            # --- S1: fetch + F6/F7 gates + parse/analyze -----------------------
+            fetched = self._fetch(batch)
+            analyzed_cond = ((F.col("status_code") == 200)
+                             & F.lower(F.col("content_type")).contains("text/html"))
+            want_links = analyzed_cond & (F.col("depth") < cfg.max_depth)
+            analysis = analysis_column(
+                F.when(analyzed_cond, F.col("html")).otherwise(F.lit("")),
+                F.col("url"), want_links, self.base_domain)
+            result = (
+                fetched
+                .withColumn("analysis",
+                            F.when(analyzed_cond, analysis).otherwise(F.lit(None)))
+                .select("crawl_seq", "url", "depth", "priority", "round",
+                        "status_code",
+                        F.split(F.col("content_type"), ";").getItem(0)
+                        .alias("content_type"),
+                        "final_url", "response_time_ms", "content_length",
+                        "headers", "host", "fetch_slot", "scheduled_offset_ms",
+                        "analysis")
+                .localCheckpoint(eager=True)
+            )
+            results_parts.append(result)
+            results_count += batch_count
+
+            # --- filtered-log append (per occurrence, reference semantics) ----
+            filtered_parts.append(
+                result
+                .select("round",
+                        F.explode(F.coalesce(
+                            F.col("analysis.filtered"),
+                            F.array().cast(
+                                "array<struct<url:string,reason:string>>")))
+                        .alias("f"))
+                .select(F.col("f.url").alias("url"),
+                        F.col("f.reason").alias("reason"), "round"))
+
+            # --- candidate links: posexplode keeps page order ------------------
+            candidates = (
+                result
+                .filter(F.col("analysis").isNotNull())
+                .select(F.col("crawl_seq").alias("parent_seq"),
+                        F.col("depth").alias("parent_depth"),
+                        F.posexplode_outer(F.col("analysis.links"))
+                        .alias("link_pos", "url"))
+                .filter(F.col("url").isNotNull())
+            )
+            # within-round first occurrence wins (reference: first add_url
+            # registers, later ones are duplicates — url_manager.py:207-220)
+            first_w = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
+            candidates = (candidates
+                          .withColumn("_rn", F.row_number().over(first_w))
+                          .filter(F.col("_rn") == 1).drop("_rn"))
+
+            # --- J1: bloom prune + exact anti-join, then robots -----------------
+            new_links = self.bloom.prune_new(candidates, seen)
+            new_links = filter_allowed(new_links, self.robots)
+
+            # --- deterministic discovery_seq ------------------------------------
+            seq_w = Window.orderBy("parent_seq", "link_pos")
+            new_frontier = (
+                new_links
+                .withColumn("discovery_seq",
+                            (F.row_number().over(seq_w) - 1
+                             + F.lit(next_discovery_seq)).cast("long"))
+                .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+                .withColumn("priority",
+                            (is_priority_col(F.col("url"),
+                                             cfg.priority_patterns)
+                             if cfg.smart else F.lit(False)).cast("int"))
+                .withColumn("round_added", F.lit(round_id + 1))
+                .select("url", "depth", "priority", "discovery_seq",
+                        "round_added")
+                .localCheckpoint(eager=True)
+            )
+            enqueued = new_frontier.count()
+            next_discovery_seq += enqueued
+
+            # --- merge frontier & seen (Iceberg MERGE INTO equivalent) ---------
+            remaining = frontier.join(F.broadcast(batch.select("url")),
+                                      "url", "left_anti")
+            frontier = remaining.unionByName(new_frontier) \
+                                .localCheckpoint(eager=True)
+            frontier_count = frontier_count - batch_count + enqueued
+            new_seen = new_frontier.select(
+                "url", F.md5(F.col("url")).alias("url_md5"))
+            seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
+            self.bloom.add_urls(new_frontier.select("url"))
+
+            rounds.append({
+                "round": round_id, "dequeued": batch_count,
+                "enqueued": enqueued, "frontier_after": frontier_count,
+                "results_total": results_count,
+                "bloom_inserted": self.bloom.n_inserted,
+                "partitions": frontier.rdd.getNumPartitions(),
+                "wall_ms": round((time.monotonic() - t0) * 1000, 1),
+            })
+
+            if self.store is not None:
+                self.store.write("frontier", frontier, round_id)
+                self.store.write("seen", seen, round_id)
+                self.store.write("results", result, round_id)
+                self.store.commit_round(round_id, rounds[-1])
+            round_id += 1
+
+        results = results_parts[0]
+        for part in results_parts[1:]:
+            results = results.unionByName(part)
+        filtered = filtered_parts[0] if filtered_parts else None
+        for part in filtered_parts[1:]:
+            filtered = filtered.unionByName(part)
+        crawl_order = results.select("crawl_seq", "url", "depth",
+                                     (F.col("priority") == 1).alias("priority"),
+                                     "round")
+        return CrawlState(results=results, frontier=frontier, seen=seen,
+                          filtered=filtered, rounds=rounds,
+                          crawl_order=crawl_order)

@@ -1,0 +1,79 @@
+"""Per-host politeness pacing and hot-host salting.
+
+The reference enforces politeness by sleeping between requests inside one
+session object (``core/session_manager.py:120-138``: min interval =
+``1/requests_per_second``). Distributed, that becomes: group the fetch batch
+by host, and within each host group assign monotonically increasing
+*scheduled offsets* at the rate budget. Groups pace independently — one hot
+host never serializes the round, it only lengthens its own group's schedule.
+
+Two pieces:
+
+* :func:`schedule_fetches` — ``groupBy(host).applyInPandas`` assigning each
+  row its politeness slot (``fetch_slot`` index within host and
+  ``scheduled_offset_ms``). In this sandbox the synthetic fetch does not
+  sleep; the schedule is recorded so tests can assert the rate budget is
+  respected (max slot density ≤ rps) and a live fetcher would honor it.
+* :func:`salted_repartition` — spread rows of hot hosts over
+  ``salt_buckets`` partitions (kills hot-domain skew in the *parse/analyze*
+  stage, which has no per-host ordering constraint; the *pacing* stage is
+  inherently per-host-sequential, which is exactly why pacing and parsing
+  are separate stages here).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urlnorm import host_col
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("host", host_col(F.col(url_col)))
+
+
+def schedule_fetches(batch: DataFrame, requests_per_second: float,
+                     url_col: str = "url") -> DataFrame:
+    """Assign per-host politeness slots to a dequeued batch.
+
+    Slot order within a host follows the batch's dequeue order
+    (``crawl_seq``), so the schedule is deterministic.
+    """
+    interval_ms = 1000.0 / max(requests_per_second, 1e-9)
+    cols = batch.columns
+    df = with_host(batch, url_col)
+
+    def pace(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("crawl_seq", kind="mergesort")
+        pdf["fetch_slot"] = range(len(pdf))
+        pdf["scheduled_offset_ms"] = pdf["fetch_slot"] * interval_ms
+        return pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema += ", fetch_slot long, scheduled_offset_ms double"
+    return df.groupBy("host").applyInPandas(pace, schema=schema) \
+             .select(*cols, "host", "fetch_slot", "scheduled_offset_ms")
+
+
+def salted_repartition(df: DataFrame, salt_buckets: int,
+                       hot_threshold: int | None = None,
+                       url_col: str = "url") -> DataFrame:
+    """Repartition by ``(host, salt)`` where salt spreads hot hosts.
+
+    When ``hot_threshold`` is given, only hosts with more rows than the
+    threshold get salted (others keep salt 0 → co-located); without it every
+    host fans out over ``salt_buckets``. The hot-host count uses a window
+    aggregation (one shuffle) — at production scale you'd maintain host
+    statistics across rounds instead of recounting.
+    """
+    df = with_host(df, url_col)
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)).cast("int")
+    if hot_threshold is not None:
+        from pyspark.sql import Window
+        cnt = F.count("*").over(Window.partitionBy("host"))
+        salt = F.when(cnt > hot_threshold, salt).otherwise(F.lit(0))
+    out = df.withColumn("host_salt", salt)
+    return out.repartition(F.col("host"), F.col("host_salt"))

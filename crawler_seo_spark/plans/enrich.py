@@ -1,0 +1,270 @@
+"""Catalyst-side enrichment: everything relational about the analysis.
+
+Input: the raw crawl results table — one row per fetched page with columns
+``crawl_seq, url, depth, priority, round, status_code, content_type,
+final_url, response_time_ms, content_length, headers(map), analysis(struct)``
+(analysis = NULL for non-200/non-HTML pages, which the reference never
+analyzes — main.py:199).
+
+Output: the canonical wide table (reference ``main.py:121-162`` /
+``utils/constants.py:117-125``) with
+
+* length-bucket statuses (C5/C6) as ``when`` chains,
+* ORDER-DEPENDENT duplicate flags (A1/A2) as
+  ``row_number() OVER (PARTITION BY title ORDER BY crawl_seq) > 1`` — the
+  reference's mutable-dict semantics (first occurrence unflagged, all later
+  occurrences flagged, empties exempt; metatags_analyzer.py:196-228),
+* headings + metatags scores (C15/C16) as column arithmetic,
+* critical-issue / warning arrays (C17/C18/C19) via ``array_compact``,
+* risk score/level (C21/C22) from the headers map,
+* SIM/NÃO encodings (C23) and display joins (C24).
+
+Every operation below is whole-stage-codegen'd JVM work; the only shuffles
+are the two duplicate-flag windows (hash-partition by title/description) —
+exactly the shuffles the semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    DESCRIPTION_MAX_LENGTH,
+    DESCRIPTION_MIN_LENGTH,
+    PENALTY_DUPLICATE_DESCRIPTION,
+    PENALTY_DUPLICATE_TITLE,
+    SCORE_DESCRIPTION_OK,
+    SCORE_TITLE_OK,
+    SECURITY_HEADERS,
+    STATUS_ABSENT,
+    STATUS_OK,
+    STATUS_TOO_LONG,
+    STATUS_TOO_SHORT,
+)
+
+
+def length_status_col(length: Column, lo: int, hi: int) -> Column:
+    """C5/C6 bucket: Ausente / Muito curto / Muito longo / OK."""
+    return (
+        F.when(length == 0, STATUS_ABSENT)
+        .when(length < lo, STATUS_TOO_SHORT)
+        .when(length > hi, STATUS_TOO_LONG)
+        .otherwise(STATUS_OK)
+    )
+
+
+def duplicate_flag_col(value: Column, order: Column) -> Column:
+    """A1/A2: the reference's first-seen-unflagged duplicate semantics."""
+    w = Window.partitionBy(value).orderBy(order)
+    return (value != F.lit("")) & value.isNotNull() & (F.row_number().over(w) > 1)
+
+
+def _sim_nao(flag: Column) -> Column:
+    return F.when(flag, "SIM").otherwise("NÃO")
+
+
+def status_warnings_col(status: Column, url: Column, final_url: Column) -> Column:
+    """C19 warning strings per status class (status_analyzer.py:84-97)."""
+    detail = (
+        F.when(status.isin(301, 302, 303, 307, 308),
+               F.concat(F.lit("Redirect "), status.cast("string"), F.lit(": "),
+                        url, F.lit(" → "), final_url))
+        .when(status == 404, F.lit("Página não encontrada (404)"))
+        .when(status >= 500, F.concat(F.lit("Erro do servidor ("),
+                                      status.cast("string"), F.lit(")")))
+        .when(status == 403, F.lit("Acesso negado (403)"))
+    )
+    head = F.concat(F.lit("Página retornou código de status "),
+                    status.cast("string"))
+    return (
+        F.when(status == 200, F.array().cast("array<string>"))
+        .otherwise(F.array_compact(F.array(head, detail)))
+    )
+
+
+def enrich_results(results: DataFrame) -> DataFrame:
+    """Raw crawl results → canonical wide analysis table."""
+    a = F.col("analysis")
+    analyzed = a.isNotNull()
+
+    df = results.select(
+        "crawl_seq", "url", "depth", "priority", "round",
+        "status_code", "content_type", "final_url", "response_time_ms",
+        "content_length", "headers", "analysis",
+    )
+
+    # --- C5/C6 status buckets + A1/A2 duplicate windows -------------------
+    df = (
+        df
+        .withColumn("title", F.coalesce(a["title"], F.lit("")))
+        .withColumn("meta_description", F.coalesce(a["meta_description"], F.lit("")))
+        .withColumn("title_status",
+                    length_status_col(F.coalesce(a["title_length"], F.lit(0)),
+                                      30, 60))
+        .withColumn("description_status",
+                    length_status_col(F.coalesce(a["description_length"], F.lit(0)),
+                                      DESCRIPTION_MIN_LENGTH, DESCRIPTION_MAX_LENGTH))
+        .withColumn(
+            "title_dup",
+            F.when(analyzed,
+                   duplicate_flag_col(F.col("title"), F.col("crawl_seq")))
+            .otherwise(F.lit(False)))
+        .withColumn(
+            "desc_dup",
+            F.when(analyzed,
+                   duplicate_flag_col(F.col("meta_description"), F.col("crawl_seq")))
+            .otherwise(F.lit(False)))
+    )
+
+    # --- C15 headings score ------------------------------------------------
+    criticos = F.coalesce(a["headings_criticos"], F.lit(0))
+    problematicos = F.coalesce(a["headings_problematicos_count"], F.lit(0))
+    outros = problematicos - criticos
+    h1_ausente = F.coalesce(a["h1_ausente"], F.lit(True))
+    h1_multiple = F.coalesce(a["h1_multiple"], F.lit(False))
+    hier_ok = F.coalesce(a["hierarquia_correta"], F.lit(True))
+    headings_score = (
+        F.when(~h1_ausente & ~h1_multiple, 20).when(~h1_ausente, 10).otherwise(0)
+        + F.when(hier_ok, 15).otherwise(0)
+        - criticos * 10 - outros * 3
+        - F.when(~hier_ok, 15).otherwise(0)
+    )
+    headings_score = F.greatest(F.lit(0), F.least(headings_score, F.lit(35)))
+
+    # --- C16 metatags score --------------------------------------------------
+    t_ok = F.col("title_status") == STATUS_OK
+    d_ok = F.col("description_status") == STATUS_OK
+    title_pts = (
+        F.when(t_ok & ~F.col("title_dup"), SCORE_TITLE_OK)
+        .when(F.col("title_dup"),
+              max(0, SCORE_TITLE_OK - PENALTY_DUPLICATE_TITLE))
+        .otherwise(0))
+    desc_pts = (
+        F.when(d_ok & ~F.col("desc_dup"), SCORE_DESCRIPTION_OK)
+        .when(F.col("desc_dup"),
+              max(0, SCORE_DESCRIPTION_OK - PENALTY_DUPLICATE_DESCRIPTION))
+        .otherwise(0))
+    bonus = (
+        F.when(F.coalesce(a["has_open_graph"], F.lit(False)), 5).otherwise(0)
+        + F.when(F.coalesce(a["meta_viewport"], F.lit("")) != "", 3).otherwise(0)
+        + F.when(F.coalesce(a["canonical_url"], F.lit("")) != "", 2).otherwise(0))
+    metatags_score = F.least(title_pts + desc_pts + headings_score + bonus,
+                             F.lit(100))
+
+    df = (
+        df.withColumn("headings_score",
+                      F.when(analyzed, headings_score).otherwise(0))
+          .withColumn("metatags_score",
+                      F.when(analyzed, metatags_score).otherwise(0))
+    )
+
+    # --- C17 critical issues / warnings -------------------------------------
+    crit = F.array_compact(F.array(
+        F.when(analyzed & (F.col("title_status") == STATUS_ABSENT),
+               F.lit("Title ausente")),
+        F.when(analyzed & (F.col("description_status") == STATUS_ABSENT),
+               F.lit("Meta description ausente")),
+        F.when(analyzed & h1_ausente, F.lit("H1 ausente")),
+        F.when(analyzed & (criticos > 0),
+               F.concat(F.lit("H1s problemáticos ("),
+                        criticos.cast("string"), F.lit(")"))),
+    ))
+    warns = F.array_compact(F.array(
+        F.when(F.col("title_dup"), F.lit("Title duplicado")),
+        F.when(F.col("desc_dup"), F.lit("Description duplicada")),
+        F.when(analyzed & h1_multiple, F.lit("Múltiplos H1")),
+        F.when(analyzed & ~hier_ok, F.lit("Hierarquia de headings incorreta")),
+        F.when(analyzed & (problematicos > 0),
+               F.concat(F.lit("Headings problemáticos ("),
+                        problematicos.cast("string"), F.lit(")"))),
+        F.when(analyzed & F.col("title_status").isin(STATUS_TOO_SHORT, STATUS_TOO_LONG),
+               F.concat(F.lit("Title "), F.lower(F.col("title_status")))),
+        F.when(analyzed & F.col("description_status").isin(STATUS_TOO_SHORT,
+                                                           STATUS_TOO_LONG),
+               F.concat(F.lit("Description "), F.lower(F.col("description_status")))),
+    ))
+    status_warns = status_warnings_col(
+        F.col("status_code"), F.col("url"), F.col("final_url"))
+    # C18 consolidation: status warnings + analyzer warnings + CRÍTICO-prefixed
+    all_warnings = F.concat(
+        status_warns, warns,
+        F.transform(crit, lambda c: F.concat(F.lit("CRÍTICO: "), c)))
+
+    # --- C21/C22 security headers + risk -------------------------------------
+    hdr = F.col("headers")
+    flags = {name: hdr.getItem(name).isNotNull() & (hdr.getItem(name) != "")
+             for name in SECURITY_HEADERS}
+    missing = sum(
+        F.when(~flags[n], 1).otherwise(0)
+        for n in ["Strict-Transport-Security", "Content-Security-Policy",
+                  "X-Frame-Options", "X-Content-Type-Options", "Referrer-Policy"]
+    )
+    critical_mixed = F.coalesce(a["critical_mixed_count"], F.lit(0))
+    passive_mixed = F.coalesce(a["passive_mixed_count"], F.lit(0))
+    risk_score = F.least(
+        (critical_mixed * 2 + passive_mixed + missing * 3) * 10, F.lit(100))
+    risk_level = (
+        F.when(risk_score >= 70, "high")
+        .when(risk_score >= 40, "medium")
+        .otherwise("low"))
+
+    # --- wide projection (main.py:125-162) -----------------------------------
+    return df.select(
+        F.col("crawl_seq"), F.col("round"), F.col("depth"), F.col("priority"),
+        F.col("url").alias("URL"),
+        F.col("status_code").alias("Status_Code"),
+        F.col("response_time_ms").alias("Response_Time_ms"),
+        F.col("content_type").alias("Content_Type"),
+        F.col("final_url").alias("Final_URL"),
+        (F.col("final_url") != F.col("url")).alias("Redirected"),
+        F.col("title").alias("Title"),
+        F.coalesce(a["title_length"], F.lit(0)).alias("Title_Length"),
+        F.col("title_status").alias("Title_Status"),
+        _sim_nao(F.col("title_dup")).alias("Title_Duplicado"),
+        F.col("meta_description").alias("Meta_Description"),
+        F.coalesce(a["description_length"], F.lit(0)).alias("Description_Length"),
+        F.col("description_status").alias("Description_Status"),
+        _sim_nao(F.col("desc_dup")).alias("Description_Duplicada"),
+        F.coalesce(a["h1_count"], F.lit(0)).alias("H1_Count"),
+        F.coalesce(a["h1_text"], F.lit("")).alias("H1_Text"),
+        _sim_nao(h1_ausente).alias("H1_Ausente"),
+        _sim_nao(h1_multiple).alias("H1_Multiple"),
+        _sim_nao(hier_ok).alias("Hierarquia_Correta"),
+        problematicos.alias("Headings_Problematicos_Total"),
+        F.coalesce(a["headings_vazios_count"], F.lit(0)).alias("Headings_Vazios"),
+        F.coalesce(a["headings_ocultos_count"], F.lit(0)).alias("Headings_Ocultos"),
+        criticos.alias("Headings_Criticos"),
+        F.array_join(F.coalesce(a["heading_sequence"],
+                                F.array().cast("array<string>")), " → ")
+         .alias("Heading_Sequence_Completa"),
+        F.array_join(F.coalesce(a["heading_sequence_valida"],
+                                F.array().cast("array<string>")), " → ")
+         .alias("Heading_Sequence_Valida"),
+        F.coalesce(a["total_problemas_headings"], F.lit(0))
+         .alias("Total_Problemas_Headings"),
+        F.col("headings_score").alias("Headings_Score"),
+        F.col("metatags_score").alias("Metatags_Score"),
+        F.array_join(crit, " | ").alias("Critical_Issues"),
+        F.array_join(all_warnings, " | ").alias("Warnings"),
+        _sim_nao(F.coalesce(a["has_mixed_content"], F.lit(False)))
+        .alias("Has_Mixed_Content"),
+        F.coalesce(a["mixed_content_count"], F.lit(0)).alias("Mixed_Content_Count"),
+        critical_mixed.alias("Critical_Mixed_Count"),
+        passive_mixed.alias("Passive_Mixed_Count"),
+        F.coalesce(a["canonical_url"], F.lit("")).alias("Canonical_URL"),
+        F.coalesce(a["meta_viewport"], F.lit("")).alias("Meta_Viewport"),
+        _sim_nao(F.coalesce(a["has_open_graph"], F.lit(False)))
+        .alias("Has_Open_Graph"),
+        risk_level.alias("Risk_Level"),
+        risk_score.alias("Risk_Score"),
+        flags["Strict-Transport-Security"].alias("hsts_present"),
+        flags["Content-Security-Policy"].alias("csp_present"),
+        flags["X-Frame-Options"].alias("x_frame_options"),
+        flags["X-Content-Type-Options"].alias("x_content_type_options"),
+        flags["Referrer-Policy"].alias("referrer_policy"),
+        a["headings_problematicos"].alias("headings_problematicos"),
+        a["problemas_hierarquia"].alias("problemas_hierarquia"),
+        a["mixed_content_resources"].alias("mixed_content_resources"),
+        a["images"].alias("images"),
+    )

@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "crawler_seo_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a session.
+
+    Local-mode defaults match the sandbox (one JVM, N threads). On a real
+    cluster the same engine code runs under ``spark-submit --py-files`` with
+    the master/executor topology supplied externally — nothing here assumes
+    local mode except the defaults.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder
+        .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
