@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: derive a crawlable site from
+``/root/testdata/sf0.001/documents.parquet``, run the distributed BFS crawl
+engine (priority frontier, Bloom-pruned seen-set dedup, per-host politeness,
+Arrow-batched analysis), and return the enriched wide analysis table.
+
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 plus the training-data operators; see
+``crawler_seo_spark/plans/driver_queries.py`` for the inventory and the
+cross-engine parity rules.
 """
 
 from __future__ import annotations
@@ -15,24 +19,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl a documents-derived site at sf0.001 and return the
+    canonical wide analysis table (driver checks rows > 0, stable schema)."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.plans.enrich import enrich_results
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL,
+        pages_df_from_documents,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_df_from_documents(spark, sf_dir, limit=200)
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=100, batch_size=25)
+    state = CrawlEngine(spark, pages, cfg).run()
+    wide = enrich_results(state.results)
+    # drop nested arrays for a compact, stable driver-facing schema
+    return wide.drop("headings_problematicos", "problemas_hierarquia",
+                     "mixed_content_resources", "images")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from crawler_seo_spark.plans.driver_queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_seo_spark.plans.driver_queries import ORACLE
+    return dict(ORACLE)

@@ -1,0 +1,133 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline queries cover the engine's main cost shapes at the bench scale
+factor: the crawl round loop (frontier/dedup/parse), the relational report
+stage, and the training-data operators (dedup families, ANN, text).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def force(df) -> int:
+    """Materialize fully (noop sink exercises the whole plan)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from crawler_seo_spark.plans import driver_queries as dq
+    from crawler_seo_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    # --- relational report stage ------------------------------------------
+    timed("q1_pricing_summary",
+          lambda: force(dq.q1_pricing_summary(spark, SF_DIR)))
+    timed("q3_order_revenue_topk",
+          lambda: force(dq.q3_order_revenue_topk(spark, SF_DIR)))
+    timed("w_topk_per_group",
+          lambda: force(dq.w_topk_per_group(spark, SF_DIR)))
+    timed("a7_executive_summary",
+          lambda: force(dq.a7_executive_summary(spark, SF_DIR)))
+
+    # --- URL kernel ---------------------------------------------------------
+    timed("c1_canonicalize",
+          lambda: force(dq.c1_canonicalize(spark, SF_DIR)))
+    timed("j1_bloom_pruned_anti_join",
+          lambda: force(dq.j1_bloom_pruned_anti_join(spark, SF_DIR)))
+
+    # --- training-data operators (full documents table) ---------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    from crawler_seo_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash64,
+    )
+    from crawler_seo_spark.operators.text import with_text_analysis
+    timed("t_text_analysis_full", lambda: force(with_text_analysis(docs)))
+    timed("d_exact_dedup_full", lambda: force(exact_duplicates(docs)))
+    sigs = minhash_signatures(docs, k=32).localCheckpoint(eager=False)
+    timed("d_minhash_signatures_full", lambda: force(sigs))
+    timed("d_lsh_candidate_pairs",
+          lambda: force(lsh_candidate_pairs(sigs, bands=8)))
+    timed("d_simhash_full",
+          lambda: force(docs.select(
+              "doc_id", simhash64(F.col("text")).alias("sh"))))
+
+    # --- similarity search ----------------------------------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from crawler_seo_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    queries10 = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    timed("s_ann_bruteforce_topk",
+          lambda: force(brute_force_topk(emb, queries10, k=5)))
+    timed("s_ann_lsh_topk",
+          lambda: force(lsh_bucketed_topk(emb, queries10, k=5, n_planes=6)))
+
+    # --- the crawl engine (throughput headline) -------------------------------
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL,
+        pages_df_from_documents,
+    )
+    n_pages = min(n_docs, 5000)
+    pages = pages_df_from_documents(spark, SF_DIR, limit=n_pages) \
+        .localCheckpoint(eager=True)
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=1000, batch_size=250)
+    t0 = time.monotonic()
+    state = CrawlEngine(spark, pages, cfg).run()
+    n_crawled = state.crawl_order.count()
+    crawl_s = round(time.monotonic() - t0, 3)
+    timings["crawl_bfs_1000"] = crawl_s
+    extras["crawl_urls_per_sec"] = round(n_crawled / crawl_s, 2)
+    print(f"  crawl: {n_crawled} urls in {crawl_s}s "
+          f"({extras['crawl_urls_per_sec']}/s)", file=sys.stderr)
+
+    from crawler_seo_spark.plans.enrich import enrich_results
+    timed("enrich_wide_table", lambda: force(enrich_results(state.results)))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

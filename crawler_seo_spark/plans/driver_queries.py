@@ -1,0 +1,967 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY §2),
+each with a DuckDB-equivalent ANSI-SQL oracle where SQL can express it.
+
+Parity discipline (the driver compares row count + schema + order-
+insensitive value hash):
+
+* every computed column is aliased identically on both sides;
+* counts are LONG on both sides, ratios DOUBLE rounded to 6 dp;
+* string hashing uses md5 (bit-identical across engines), never
+  xxhash64/murmur (engine-specific);
+* the URL corpus for crawler-operator queries is derived analytically from
+  ``documents.doc_id`` so the DuckDB side can construct the *expected*
+  canonical forms independently — the Spark side runs the real kernels
+  (pandas-UDF canonicalizer, Catalyst filter/priority/dedup expressions),
+  making these genuine differential tests, not mirrored implementations.
+
+Non-SQL-expressible operators (the iterative BFS engine, image validation)
+appear in ``QUERIES`` without an oracle — the driver records a rows-only
+check; their exactness is proven by the pytest oracle-equality suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd  # noqa: F401 — required for pandas-UDF type-hint resolution
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE = "https://shop.example.test"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ===========================================================================
+# Relational core (reference report stage analogs: A4/A7/O5, J*, windows)
+# ===========================================================================
+
+@q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                   AS avg_qty,
+       round(avg(l_extendedprice), 6)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the canonical agg-pushdown benchmark (A4/A8 analog:
+    multi-metric aggregation over the big fact table)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("sum_disc_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order")))
+
+
+@q("q3_order_revenue_topk", """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def q3_order_revenue_topk(spark, sf_dir):
+    """Join pipeline (broadcast dims into the fact) + top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey").limit(10))
+
+
+@q("w_topk_per_group", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+""")
+def w_topk_per_group(spark, sf_dir):
+    """Top-k per group via window — the reference's nlargest per entity."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3))
+
+
+@q("o5_topk_scores", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""")
+def o5_topk_scores(spark, sf_dir):
+    """O5: global top-k (TakeOrderedAndProject, excel_generator.py:589)."""
+    return (_t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
+
+
+# ===========================================================================
+# URL kernel operators (C1/C2, F1-F5, O1/O2, J1/J2) over a derived corpus
+# ===========================================================================
+# Raw/expected-canonical URL shapes per doc_id % 8 (see module docstring):
+_URL_KINDS_SQL = f"""
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN '{BASE}/product/item-' || doc_id
+      WHEN 1 THEN '{BASE}/page/info-' || doc_id || '/'
+      WHEN 2 THEN '{BASE}/category/cat-' || doc_id || '?utm_source=mail&utm_medium=x'
+      WHEN 3 THEN '{BASE}/blog/post-' || doc_id || '#section-2'
+      WHEN 4 THEN '{BASE}//docs//guide-' || doc_id
+      WHEN 5 THEN '{BASE}/page/info-' || doc_id || '?b=2&a=1'
+      WHEN 6 THEN '{BASE}/assets/img-' || doc_id || '.png'
+      ELSE        '{BASE}/checkout/cart/add/' || doc_id
+    END AS raw_url,
+    CASE doc_id % 8
+      WHEN 0 THEN '{BASE}/product/item-' || doc_id
+      WHEN 1 THEN '{BASE}/page/info-' || doc_id
+      WHEN 2 THEN '{BASE}/category/cat-' || doc_id
+      WHEN 3 THEN '{BASE}/blog/post-' || doc_id
+      WHEN 4 THEN '{BASE}/docs/guide-' || doc_id
+      WHEN 5 THEN '{BASE}/page/info-' || doc_id || '?a=1&b=2'
+      WHEN 6 THEN '{BASE}/assets/img-' || doc_id || '.png'
+      ELSE        '{BASE}/checkout/cart/add/' || doc_id
+    END AS expected_canonical
+  FROM documents
+"""
+
+
+def _raw_urls(spark, sf_dir) -> DataFrame:
+    d = F.col("doc_id")
+    k = d % 8
+    raw = (
+        F.when(k == 0, F.concat(F.lit(f"{BASE}/product/item-"), d))
+        .when(k == 1, F.concat(F.lit(f"{BASE}/page/info-"), d, F.lit("/")))
+        .when(k == 2, F.concat(F.lit(f"{BASE}/category/cat-"), d,
+                               F.lit("?utm_source=mail&utm_medium=x")))
+        .when(k == 3, F.concat(F.lit(f"{BASE}/blog/post-"), d,
+                               F.lit("#section-2")))
+        .when(k == 4, F.concat(F.lit(f"{BASE}//docs//guide-"), d))
+        .when(k == 5, F.concat(F.lit(f"{BASE}/page/info-"), d, F.lit("?b=2&a=1")))
+        .when(k == 6, F.concat(F.lit(f"{BASE}/assets/img-"), d, F.lit(".png")))
+        .otherwise(F.concat(F.lit(f"{BASE}/checkout/cart/add/"), d)))
+    return _t(spark, sf_dir, "documents").select("doc_id", raw.alias("raw_url"))
+
+
+def _canonical_urls(spark, sf_dir) -> DataFrame:
+    """raw corpus → the REAL canonicalization pandas UDF (C1)."""
+    import pandas as pd
+    from ..functions.urlnorm import canonicalize_series
+
+    @F.pandas_udf("string")
+    def canon(urls: pd.Series) -> pd.Series:
+        return canonicalize_series(urls, None, "shop.example.test")
+
+    return (_raw_urls(spark, sf_dir)
+            .withColumn("url", canon(F.col("raw_url"))))
+
+
+@q("c1_canonicalize", f"""
+SELECT doc_id, raw_url, expected_canonical AS url
+FROM ({_URL_KINDS_SQL})
+""")
+def c1_canonicalize(spark, sf_dir):
+    """C1 differential: UDF output vs analytically constructed expectation."""
+    return _canonical_urls(spark, sf_dir).select("doc_id", "raw_url", "url")
+
+
+@q("c2_url_md5", f"""
+SELECT doc_id, md5(expected_canonical) AS url_md5
+FROM ({_URL_KINDS_SQL})
+""")
+def c2_url_md5(spark, sf_dir):
+    """C2: reference-parity md5 dedup hash (url_manager.py:234)."""
+    return (_canonical_urls(spark, sf_dir)
+            .select("doc_id", F.md5(F.col("url")).alias("url_md5")))
+
+
+@q("f3f5_relevance_filter", f"""
+SELECT doc_id, url,
+  CASE WHEN doc_id % 8 = 7 THEN 'ECOMMERCE_ENDPOINT'
+       WHEN doc_id % 8 = 6 THEN 'FILE_EXTENSION'
+       ELSE NULL END AS reason,
+  (doc_id % 8 NOT IN (6, 7)) AS is_crawlable
+FROM (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL}))
+""")
+def f3f5_relevance_filter(spark, sf_dir):
+    """F3-F5 blocklists as Catalyst expressions, with reason attribution
+    (url_manager.py:139-198). The corpus plants ecommerce + extension hits
+    (the extension check precedes the technical check, so `/assets/...png`
+    attributes to FILE_EXTENSION)."""
+    from ..functions.urlnorm import filter_reason_col
+    return (_canonical_urls(spark, sf_dir)
+            .select("doc_id", "url",
+                    filter_reason_col(F.col("url")).alias("reason"))
+            .withColumn("is_crawlable", F.col("reason").isNull()))
+
+
+@q("o2_priority_classification", f"""
+SELECT url, (doc_id % 8 IN (0, 2)) AS priority
+FROM (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL}))
+WHERE doc_id % 8 NOT IN (6, 7)
+""")
+def o2_priority_classification(spark, sf_dir):
+    """O2: priority patterns (crawler.py:275-278) — /product/ and /category/
+    kinds are priority in this corpus."""
+    from ..functions.urlnorm import filter_reason_col, is_priority_col
+    return (_canonical_urls(spark, sf_dir)
+            .filter(filter_reason_col(F.col("url")).isNull())
+            .select("url", is_priority_col(F.col("url")).alias("priority")))
+
+
+@q("o1_frontier_dequeue", f"""
+SELECT url, priority, discovery_seq FROM (
+  SELECT url, (doc_id % 8 IN (0, 2)) AS priority, doc_id AS discovery_seq
+  FROM (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL}))
+  WHERE doc_id % 8 NOT IN (6, 7))
+ORDER BY priority DESC, discovery_seq ASC LIMIT 50
+""")
+def o1_frontier_dequeue(spark, sf_dir):
+    """O1/O3: the deterministic dequeue key — (priority DESC, discovery_seq
+    ASC) LIMIT batch reproduces the reference's two-deque FIFO
+    (url_manager.py:248-260, 386-404)."""
+    from ..functions.urlnorm import filter_reason_col, is_priority_col
+    frontier = (_canonical_urls(spark, sf_dir)
+                .filter(filter_reason_col(F.col("url")).isNull())
+                .select("url",
+                        is_priority_col(F.col("url")).alias("priority"),
+                        F.col("doc_id").alias("discovery_seq")))
+    return frontier.orderBy(F.desc("priority"), F.asc("discovery_seq")).limit(50)
+
+
+@q("j1_seen_anti_join", f"""
+WITH cand AS (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL})
+              WHERE doc_id % 8 NOT IN (6, 7)),
+seen AS (SELECT url FROM cand WHERE doc_id % 3 = 0)
+SELECT url FROM cand WHERE url NOT IN (SELECT url FROM seen)
+""")
+def j1_seen_anti_join(spark, sf_dir):
+    """J1: the exact seen-set anti-join (url_manager.py:222-238)."""
+    from ..functions.urlnorm import filter_reason_col
+    cand = (_canonical_urls(spark, sf_dir)
+            .filter(filter_reason_col(F.col("url")).isNull())
+            .select("doc_id", "url"))
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select("url")
+    return cand.join(seen, "url", "left_anti").select("url")
+
+
+@q("j1_bloom_pruned_anti_join", f"""
+WITH cand AS (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL})
+              WHERE doc_id % 8 NOT IN (6, 7)),
+seen AS (SELECT url FROM cand WHERE doc_id % 3 = 0)
+SELECT url FROM cand WHERE url NOT IN (SELECT url FROM seen)
+""")
+def j1_bloom_pruned_anti_join(spark, sf_dir):
+    """J1 with the sharded-Bloom prefilter in front: MUST produce exactly
+    the plain anti-join's rows (bloom false positives only cost join probes,
+    never rows) — same oracle as j1_seen_anti_join, different plan."""
+    from ..functions.urlnorm import filter_reason_col
+    from ..operators.bloom import ShardedBloom
+    cand = (_canonical_urls(spark, sf_dir)
+            .filter(filter_reason_col(F.col("url")).isNull())
+            .select("doc_id", "url"))
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select("url")
+    bloom = ShardedBloom(n_shards=8, bits_per_shard=1 << 17, num_hashes=5)
+    bloom.add_urls(seen)
+    return bloom.prune_new(cand, seen).select("url")
+
+
+@q("j2_frontier_merge", f"""
+WITH u AS (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL})
+           WHERE doc_id % 8 NOT IN (6, 7)),
+existing AS (SELECT url, doc_id AS discovery_seq, 0 AS src
+             FROM u WHERE doc_id % 2 = 0),
+incoming AS (SELECT url, doc_id + 1000000 AS discovery_seq, 1 AS src
+             FROM u WHERE doc_id % 3 = 0)
+SELECT url, discovery_seq FROM (
+  SELECT url, discovery_seq,
+         row_number() OVER (PARTITION BY url ORDER BY src, discovery_seq) AS rn
+  FROM (SELECT * FROM existing UNION ALL SELECT * FROM incoming))
+WHERE rn = 1
+""")
+def j2_frontier_merge(spark, sf_dir):
+    """J2: MERGE-INTO-when-not-matched semantics — existing frontier wins,
+    new URLs append (url_manager.py:207-220)."""
+    from pyspark.sql import Window
+    base = _canonical_urls(spark, sf_dir).select("doc_id", "url") \
+        .filter(~(F.col("doc_id") % 8).isin(6, 7))
+    existing = (base.filter(F.col("doc_id") % 2 == 0)
+                .select("url", F.col("doc_id").alias("discovery_seq"),
+                        F.lit(0).alias("src")))
+    incoming = (base.filter(F.col("doc_id") % 3 == 0)
+                .select("url", (F.col("doc_id") + 1000000).alias("discovery_seq"),
+                        F.lit(1).alias("src")))
+    w = Window.partitionBy("url").orderBy("src", "discovery_seq")
+    return (existing.unionByName(incoming)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("url", "discovery_seq"))
+
+
+# ===========================================================================
+# Order-dependent aggregations (A1/A2/A3/A7) over derived titles
+# ===========================================================================
+# Derived corpus: title repeats every 40 ids, description every 25; the
+# "crawl order" is doc_id — giving first-seen-unflagged semantics to test.
+_TITLES_SQL = """
+  SELECT doc_id,
+         'Página ' || (doc_id % 40) AS title,
+         CASE WHEN doc_id % 10 = 9 THEN ''
+              ELSE 'Desc ' || (doc_id % 25) END AS description
+  FROM documents
+"""
+
+
+def _titles(spark, sf_dir):
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("Página "), (d % 40)).alias("title"),
+        F.when(d % 10 == 9, "").otherwise(
+            F.concat(F.lit("Desc "), (d % 25))).alias("description"))
+
+
+@q("a1_title_dup_window", f"""
+SELECT doc_id, title,
+  CASE WHEN title <> '' AND
+            row_number() OVER (PARTITION BY title ORDER BY doc_id) > 1
+       THEN 'SIM' ELSE 'NÃO' END AS title_duplicado
+FROM ({_TITLES_SQL})
+""")
+def a1_title_dup_window(spark, sf_dir):
+    """A1: the order-dependent duplicate flag — NOT a plain count>1; the
+    first occurrence in crawl order stays unflagged
+    (metatags_analyzer.py:196-211)."""
+    from .enrich import duplicate_flag_col
+    t = _titles(spark, sf_dir)
+    return t.select(
+        "doc_id", "title",
+        F.when(duplicate_flag_col(F.col("title"), F.col("doc_id")), "SIM")
+        .otherwise("NÃO").alias("title_duplicado"))
+
+
+@q("a2_description_dup_window", f"""
+SELECT doc_id, description,
+  CASE WHEN description <> '' AND
+            row_number() OVER (PARTITION BY description ORDER BY doc_id) > 1
+       THEN 'SIM' ELSE 'NÃO' END AS description_duplicada
+FROM ({_TITLES_SQL})
+""")
+def a2_description_dup_window(spark, sf_dir):
+    """A2: same mechanics for descriptions; empties exempt
+    (metatags_analyzer.py:213-228)."""
+    from .enrich import duplicate_flag_col
+    t = _titles(spark, sf_dir)
+    return t.select(
+        "doc_id", "description",
+        F.when(duplicate_flag_col(F.col("description"), F.col("doc_id")),
+               "SIM").otherwise("NÃO").alias("description_duplicada"))
+
+
+@q("a3_duplicates_report", f"""
+SELECT title, count(*) AS dup_count, min(doc_id) AS first_doc
+FROM ({_TITLES_SQL}) WHERE title <> ''
+GROUP BY title HAVING count(*) > 1
+""")
+def a3_duplicates_report(spark, sf_dir):
+    """A3: duplicate groups (metatags_analyzer.py:387-404)."""
+    return (_titles(spark, sf_dir).filter(F.col("title") != "")
+            .groupBy("title")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("dup_count") > 1))
+
+
+@q("a7_executive_summary", f"""
+WITH t AS (SELECT doc_id, title, description,
+            CASE WHEN title <> '' AND row_number()
+                 OVER (PARTITION BY title ORDER BY doc_id) > 1
+                 THEN 1 ELSE 0 END AS is_dup
+           FROM ({_TITLES_SQL}))
+SELECT count(*)                              AS total_urls,
+       sum(is_dup)                           AS titles_duplicados,
+       sum(CASE WHEN description = '' THEN 1 ELSE 0 END) AS descs_ausentes,
+       sum(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END) AS erros_404
+FROM t
+""")
+def a7_executive_summary(spark, sf_dir):
+    """A7: one-pass conditional aggregation (excel_generator.py:611-672 does
+    ten pandas passes; Catalyst fuses these into one scan)."""
+    from .enrich import duplicate_flag_col
+    t = _titles(spark, sf_dir).withColumn(
+        "is_dup",
+        F.when(duplicate_flag_col(F.col("title"), F.col("doc_id")), 1)
+        .otherwise(0))
+    return t.agg(
+        F.count("*").alias("total_urls"),
+        F.sum("is_dup").alias("titles_duplicados"),
+        F.sum(F.when(F.col("description") == "", 1).otherwise(0))
+        .alias("descs_ausentes"),
+        F.sum(F.when(F.col("doc_id") % 29 == 11, 1).otherwise(0))
+        .alias("erros_404"))
+
+
+# ===========================================================================
+# Analyzer column arithmetic (C5/C6, C15/C16, C19, C22)
+# ===========================================================================
+
+@q("c5_length_status", """
+SELECT doc_id, title_length,
+  CASE WHEN title_length = 0 THEN 'Ausente'
+       WHEN title_length < 30 THEN 'Muito curto'
+       WHEN title_length > 60 THEN 'Muito longo'
+       ELSE 'OK' END AS title_status
+FROM (SELECT doc_id, (doc_id * 7) % 80 AS title_length FROM documents)
+""")
+def c5_length_status(spark, sf_dir):
+    """C5/C6: the 30/60 length buckets (metatags_analyzer.py:81-120)."""
+    from .enrich import length_status_col
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") * 7) % 80).alias("title_length"))
+    return d.withColumn(
+        "title_status",
+        length_status_col(F.col("title_length").cast("int"), 30, 60))
+
+
+@q("c15_c16_score_arithmetic", """
+WITH m AS (SELECT doc_id,
+             doc_id % 2 = 0  AS h1_present,
+             doc_id % 5 = 0  AS h1_multiple,
+             doc_id % 3 <> 0 AS hier_ok,
+             doc_id % 4      AS criticos,
+             (doc_id % 4) + (doc_id % 3) AS problematicos,
+             doc_id % 7 = 0  AS title_ok,
+             doc_id % 7 = 1  AS title_dup,
+             doc_id % 6 = 0  AS desc_ok,
+             doc_id % 6 = 1  AS desc_dup,
+             doc_id % 3 = 0  AS has_og,
+             doc_id % 2 = 0  AS has_viewport,
+             doc_id % 5 = 0  AS has_canonical
+           FROM documents),
+h AS (SELECT *, greatest(0, least(35,
+        (CASE WHEN h1_present AND NOT h1_multiple THEN 20
+              WHEN h1_present THEN 10 ELSE 0 END)
+        + (CASE WHEN hier_ok THEN 15 ELSE 0 END)
+        - criticos * 10 - (problematicos - criticos) * 3
+        - (CASE WHEN NOT hier_ok THEN 15 ELSE 0 END))) AS headings_score
+      FROM m)
+SELECT doc_id, headings_score,
+  least(100,
+    (CASE WHEN title_ok AND NOT title_dup THEN 30
+          WHEN title_dup THEN 20 ELSE 0 END)
+    + (CASE WHEN desc_ok AND NOT desc_dup THEN 25
+            WHEN desc_dup THEN 15 ELSE 0 END)
+    + headings_score
+    + (CASE WHEN has_og THEN 5 ELSE 0 END)
+    + (CASE WHEN has_viewport THEN 3 ELSE 0 END)
+    + (CASE WHEN has_canonical THEN 2 ELSE 0 END)) AS metatags_score
+FROM h
+""")
+def c15_c16_score_arithmetic(spark, sf_dir):
+    """C15+C16: the exact score formulas (headings_analyzer.py:341-367,
+    metatags_analyzer.py:230-276) over a derived flag matrix."""
+    d = F.col("doc_id")
+    m = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (d % 2 == 0).alias("h1_present"), (d % 5 == 0).alias("h1_multiple"),
+        (d % 3 != 0).alias("hier_ok"), (d % 4).alias("criticos"),
+        ((d % 4) + (d % 3)).alias("problematicos"),
+        (d % 7 == 0).alias("title_ok"), (d % 7 == 1).alias("title_dup"),
+        (d % 6 == 0).alias("desc_ok"), (d % 6 == 1).alias("desc_dup"),
+        (d % 3 == 0).alias("has_og"), (d % 2 == 0).alias("has_viewport"),
+        (d % 5 == 0).alias("has_canonical"))
+    hs = F.greatest(F.lit(0), F.least(F.lit(35),
+        F.when(F.col("h1_present") & ~F.col("h1_multiple"), 20)
+         .when(F.col("h1_present"), 10).otherwise(0)
+        + F.when(F.col("hier_ok"), 15).otherwise(0)
+        - F.col("criticos") * 10
+        - (F.col("problematicos") - F.col("criticos")) * 3
+        - F.when(~F.col("hier_ok"), 15).otherwise(0)))
+    m = m.withColumn("headings_score", hs)
+    score = F.least(F.lit(100),
+        F.when(F.col("title_ok") & ~F.col("title_dup"), 30)
+         .when(F.col("title_dup"), 20).otherwise(0)
+        + F.when(F.col("desc_ok") & ~F.col("desc_dup"), 25)
+           .when(F.col("desc_dup"), 15).otherwise(0)
+        + F.col("headings_score")
+        + F.when(F.col("has_og"), 5).otherwise(0)
+        + F.when(F.col("has_viewport"), 3).otherwise(0)
+        + F.when(F.col("has_canonical"), 2).otherwise(0))
+    return m.select("doc_id", "headings_score",
+                    score.alias("metatags_score"))
+
+
+@q("c19_status_warnings", f"""
+WITH s AS (SELECT doc_id, expected_canonical AS url,
+             CASE WHEN doc_id % 11 = 1 THEN 301
+                  WHEN doc_id % 11 = 2 THEN 404
+                  WHEN doc_id % 11 = 3 THEN 503
+                  WHEN doc_id % 11 = 4 THEN 403
+                  ELSE 200 END AS status_code
+           FROM ({_URL_KINDS_SQL}))
+SELECT doc_id, status_code,
+  CASE WHEN status_code = 200 THEN ''
+    ELSE 'Página retornou código de status ' || status_code ||
+      CASE WHEN status_code IN (301,302,303,307,308)
+             THEN ' | Redirect ' || status_code || ': ' || url || ' → ' || url
+           WHEN status_code = 404 THEN ' | Página não encontrada (404)'
+           WHEN status_code >= 500 THEN ' | Erro do servidor (' || status_code || ')'
+           WHEN status_code = 403 THEN ' | Acesso negado (403)'
+           ELSE '' END
+  END AS warnings
+FROM s
+""")
+def c19_status_warnings(spark, sf_dir):
+    """C19: per-status warning strings (status_analyzer.py:84-97)."""
+    from .enrich import status_warnings_col
+    d = F.col("doc_id")
+    status = (F.when(d % 11 == 1, 301).when(d % 11 == 2, 404)
+              .when(d % 11 == 3, 503).when(d % 11 == 4, 403).otherwise(200))
+    s = _canonical_urls(spark, sf_dir).select(
+        "doc_id", "url", status.alias("status_code"))
+    return s.select(
+        "doc_id", "status_code",
+        F.array_join(status_warnings_col(
+            F.col("status_code"), F.col("url"), F.col("url")), " | ")
+        .alias("warnings"))
+
+
+@q("c22_risk_score", """
+WITH m AS (SELECT doc_id, doc_id % 4 AS critical_mixed, doc_id % 3 AS passive_mixed,
+                  doc_id % 6 AS missing_headers
+           FROM documents)
+SELECT doc_id,
+  least((critical_mixed * 2 + passive_mixed + missing_headers * 3) * 10, 100)
+    AS risk_score,
+  CASE WHEN least((critical_mixed*2 + passive_mixed + missing_headers*3)*10, 100) >= 70
+         THEN 'high'
+       WHEN least((critical_mixed*2 + passive_mixed + missing_headers*3)*10, 100) >= 40
+         THEN 'medium'
+       ELSE 'low' END AS risk_level
+FROM m
+""")
+def c22_risk_score(spark, sf_dir):
+    """C22: the risk formula (status_analyzer.py:326-353)."""
+    d = F.col("doc_id")
+    m = _t(spark, sf_dir, "documents").select(
+        "doc_id", (d % 4).alias("critical_mixed"),
+        (d % 3).alias("passive_mixed"), (d % 6).alias("missing_headers"))
+    score = F.least(
+        (F.col("critical_mixed") * 2 + F.col("passive_mixed")
+         + F.col("missing_headers") * 3) * 10, F.lit(100))
+    return m.select(
+        "doc_id", score.alias("risk_score"),
+        F.when(score >= 70, "high").when(score >= 40, "medium")
+        .otherwise("low").alias("risk_level"))
+
+
+# ===========================================================================
+# Text analysis (training-data ops; operators/text.py)
+# ===========================================================================
+
+@q("t_token_count", r"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+  greatest(
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END,
+    ceil(length(text) / 3.6))::BIGINT AS subword_tokens
+FROM documents
+""")
+def t_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish subword estimate."""
+    from ..operators.text import subword_estimate_col, token_count_col
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        subword_estimate_col(F.col("text")).cast("long")
+        .alias("subword_tokens"))
+
+
+@q("t_quality_ratios", r"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars_m,
+  round(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / greatest(length(text), 1), 6) AS digit_ratio,
+  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        / greatest(length(text), 1), 6) AS upper_ratio
+FROM documents
+""")
+def t_quality_ratios(spark, sf_dir):
+    """Quality-signal ratios (JVM regex, codegen'd)."""
+    from ..operators.text import quality_columns
+    d = _t(spark, sf_dir, "documents")
+    qc = quality_columns(F.col("text"))
+    return d.select(
+        "doc_id", qc["n_chars_m"].cast("long").alias("n_chars_m"),
+        qc["punct_ratio"].alias("punct_ratio"),
+        qc["digit_ratio"].alias("digit_ratio"),
+        qc["upper_ratio"].alias("upper_ratio"))
+
+
+def _marker_sql(lang_words: list[str]) -> str:
+    padded = ("' ' || regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', ' ', 'g')"
+              " || ' '")
+    terms = [
+        f"((length({padded}) - length(replace({padded}, ' {w} ', '')))"
+        f" // {len(w) + 2})"
+        for w in lang_words
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@q("t_language_id", f"""
+WITH m AS (SELECT doc_id,
+  {_marker_sql(['the', 'and', 'of', 'to', 'is', 'with', 'that'])} AS en,
+  {_marker_sql(['de', 'que', 'não', 'uma', 'para', 'com', 'os'])} AS pt,
+  {_marker_sql(['el', 'la', 'los', 'las', 'una', 'por', 'para'])} AS es
+FROM documents)
+SELECT doc_id,
+  CASE WHEN en >= pt AND en >= es AND en > 0 THEN 'en'
+       WHEN pt >= es AND pt > 0 THEN 'pt'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS lang_id
+FROM m
+""")
+def t_language_id(spark, sf_dir):
+    """Language-ID heuristic via stopword hit counts."""
+    from ..operators.text import language_id_col
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", language_id_col(F.col("text")).alias("lang_id"))
+
+
+@q("t_fingerprint_exact_dedup", r"""
+WITH fp AS (SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                            '\s+', ' ', 'g'))) AS fingerprint
+  FROM (SELECT doc_id,
+          CASE WHEN doc_id % 10 < 2
+               THEN 'bloco duplicado para teste de dedup exato'
+               ELSE text END AS text
+        FROM documents))
+SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+""")
+def t_fingerprint_exact_dedup(spark, sf_dir):
+    """Exact dedup by content fingerprint (derived duplicates planted on
+    doc_id % 10 < 2)."""
+    from ..operators.dedup import exact_duplicates
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 2,
+               "bloco duplicado para teste de dedup exato")
+        .otherwise(F.col("text")).alias("text"))
+    return (exact_duplicates(d).select("fp", "dup_count", "keeper_id")
+            .withColumnRenamed("fp", "fingerprint"))
+
+
+# ===========================================================================
+# Dedup families (operators/dedup.py) — cross-engine md5-based hashing
+# ===========================================================================
+
+def _minhash_sql(k: int) -> str:
+    from ..operators.dedup import MERSENNE31, minhash_params
+    params = minhash_params(k)
+    norm = (r"trim(regexp_replace(regexp_replace(lower(text), "
+            r"'[^\p{L}\p{N}]+', ' ', 'g'), '\s+', ' ', 'g'))")
+    cols = ", ".join(
+        f"list_aggregate(list_transform(hh, h -> ({a} * h + {b}) % "
+        f"{MERSENNE31}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    return f"""
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                       i -> substr(t, i::INT, 5)) AS shingles
+       FROM norm),
+hs AS (SELECT doc_id,
+        list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                            % {MERSENNE31}) AS hh
+       FROM sh)
+SELECT doc_id, {cols} FROM hs
+"""
+
+
+@q("d_minhash_signatures", _minhash_sql(4))
+def d_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=4 exposed as columns for the value-hash
+    compare; the engine uses k=32 arrays)."""
+    from ..operators.dedup import minhash_signatures
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sig = minhash_signatures(d, k=4)
+    return sig.select(
+        "doc_id",
+        *[F.col("signature").getItem(i).alias(f"mh{i}") for i in range(4)])
+
+
+@q("d_simhash", r"""
+WITH norm AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 100),
+hs AS (SELECT doc_id,
+        list_transform(list_filter(string_split(t, ' '), x -> x <> ''),
+                       tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hh
+       FROM norm)
+SELECT doc_id,
+  list_aggregate(list_transform(range(0, 32), b ->
+    (CASE WHEN 2 * list_aggregate(
+              list_transform(hh, h -> (floor(h / (2::BIGINT ^ b)))::BIGINT % 2),
+              'sum') > len(hh)
+          THEN 1::BIGINT ELSE 0::BIGINT END) * (1::BIGINT << (31 - b)::INT)),
+    'sum')::BIGINT AS simhash
+FROM hs
+""")
+def d_simhash(spark, sf_dir):
+    """SimHash (32-bit) per document."""
+    from ..operators.dedup import simhash64
+    return (_t(spark, sf_dir, "documents").filter("doc_id < 100")
+            .select("doc_id", simhash64(F.col("text")).alias("simhash")))
+
+
+@q("d_ngram_jaccard_pairs", r"""
+WITH base AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id - (a.doc_id % 2)
+  WHERE a.doc_id < 60),
+norm AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t FROM base),
+sh AS (SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                       i -> substr(t, i::INT, 5)))) AS s
+       FROM norm),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+          FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+""")
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (odd docs take their even neighbor's text
+    → planted near-identical pairs)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 60")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    base = (a.join(b, F.col("b.doc_id")
+                   == F.col("a.doc_id") - (F.col("a.doc_id") % 2))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.when(F.col("a.doc_id") % 2 == 1, F.col("b.text"))
+                    .otherwise(F.col("a.text")).alias("text")))
+    return ngram_jaccard_pairs(base, threshold=0.6)
+
+
+# ===========================================================================
+# Similarity search (operators/similarity.py)
+# ===========================================================================
+
+_COS_SQL = """
+  list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+    i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')
+  / (sqrt(list_aggregate(list_transform(q.embedding,
+      x -> x::DOUBLE * x::DOUBLE), 'sum'))
+     * sqrt(list_aggregate(list_transform(c.embedding,
+        x -> x::DOUBLE * x::DOUBLE), 'sum')))
+"""
+
+
+@q("s_ann_bruteforce_topk", f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos_raw
+  FROM embeddings q, embeddings c WHERE q.vec_id < 5)
+SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, rank FROM (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 3
+""")
+def s_ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k (queries broadcast; JVM array arithmetic)."""
+    from ..operators.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=3)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine"), 4).alias("cosine"), "rank")
+
+
+@q("s_embedding_block_pairs", f"""
+WITH scored AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.label AS label, {_COS_SQL} AS cos_raw
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id < c.vec_id
+  WHERE q.vec_id < 200 AND c.vec_id < 200)
+SELECT id_a, id_b, label, round(cos_raw, 4) AS cosine
+FROM scored WHERE cos_raw >= 0.2
+""")
+def s_embedding_block_pairs(spark, sf_dir):
+    """Blocked cosine near-dup pairs (label blocks restrict the self-join)."""
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 200")
+    from ..operators.similarity import cosine_col
+    l, r = emb.alias("l"), emb.alias("r")
+    dotn = (F.aggregate(
+        F.zip_with(F.col("l.embedding"), F.col("r.embedding"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nrm = lambda side: F.sqrt(F.aggregate(
+        F.col(f"{side}.embedding"), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    cos_raw = dotn / (nrm("l") * nrm("r"))
+    return (l.join(r, (F.col("l.label") == F.col("r.label"))
+                   & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("id_a"),
+                    F.col("r.vec_id").alias("id_b"),
+                    F.col("l.label").alias("label"),
+                    cos_raw.alias("cos_raw"))
+            .filter(F.col("cos_raw") >= 0.2)
+            .select("id_a", "id_b", "label",
+                    F.round(F.col("cos_raw"), 4).alias("cosine")))
+
+
+# ===========================================================================
+# Events: windowed aggregation, sessionization, JSON extraction
+# ===========================================================================
+
+@q("e_windowed_counts", """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start_epoch,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def e_windowed_counts(spark, sf_dir):
+    """5-minute tumbling windows (batch form of the streaming operator)."""
+    from ..streaming.events import windowed_counts
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts(ev, window="5 minutes")
+    return out.select(
+        F.unix_timestamp("window_start").cast("long")
+        .alias("window_start_epoch"),
+        "event_type", "n",
+        F.round(F.col("total_value"), 4).alias("total_value"))
+
+
+@q("e_sessionize", """
+WITH o AS (SELECT user_id, ts, value,
+             CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+s AS (SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+       count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_no
+""")
+def e_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap)."""
+    from ..streaming.events import sessionize_batch_window
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = sessionize_batch_window(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("long")
+        .alias("session_start_epoch"),
+        "n_events",
+        F.round(F.col("session_value"), 4).alias("session_value"))
+
+
+@q("e_json_props", """
+SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def e_json_props(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
+                 .alias("sum_k"),
+                 F.count("*").alias("n")))
+
+
+# ===========================================================================
+# Non-SQL-expressible operators: rows-only driver checks (pytest owns the
+# exactness proofs — tests/test_engine_oracle.py, tests/test_images.py)
+# ===========================================================================
+
+@q("crawl_bfs_documents")
+def crawl_bfs_documents(spark, sf_dir):
+    """The full iterative BFS engine over a site derived from the documents
+    table: crawl order with priority-first dequeue. Exactness vs the
+    pure-Python oracle is proven in tests/test_engine_oracle.py (the loop is
+    not one SQL statement — the driver records rows-only here)."""
+    from ..config import CrawlConfig
+    from ..engine import CrawlEngine
+    from ..sources.from_documents import SEED_URL, pages_df_from_documents
+    pages = pages_df_from_documents(spark, sf_dir, limit=150)
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=80, batch_size=20)
+    state = CrawlEngine(spark, pages, cfg).run()
+    return state.crawl_order
+
+
+@q("m_validate_images")
+def m_validate_images(spark, sf_dir):
+    """Image+caption payload validation (input_hint invariant): decode,
+    PSNR≥40dB for lossy, caption + phash equality. Deterministic generated
+    payloads (no image libs in the container ⇒ no SQL oracle)."""
+    from ..operators.multimodal import validate_images
+    from ..sources.images import generate_images
+    rows = generate_images(60)
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    return (validate_images(df)
+            .groupBy("fmt")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("pixels_ok") & F.col("phash_ok")
+                              & F.col("caption_ok"), 1).otherwise(0))
+                 .alias("n_valid"),
+                 F.round(F.min("psnr"), 3).alias("min_psnr")))

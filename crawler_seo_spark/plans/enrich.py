@@ -64,6 +64,14 @@ def _sim_nao(flag: Column) -> Column:
     return F.when(flag, "SIM").otherwise("NÃO")
 
 
+def _sim_nao_analyzed(flag: Column, analyzed: Column) -> Column:
+    """SIM/NÃO for analyzed pages, '' otherwise — non-analyzed pages never
+    ran the analyzer in the reference (their fields are NaN in its pandas
+    stage and don't satisfy ``== 'SIM'`` report filters); the empty string
+    keeps that counting behavior under a fixed schema."""
+    return F.when(~analyzed, "").when(flag, "SIM").otherwise("NÃO")
+
+
 def status_warnings_col(status: Column, url: Column, final_url: Column) -> Column:
     """C19 warning strings per status class (status_analyzer.py:84-97)."""
     detail = (
@@ -220,17 +228,17 @@ def enrich_results(results: DataFrame) -> DataFrame:
         (F.col("final_url") != F.col("url")).alias("Redirected"),
         F.col("title").alias("Title"),
         F.coalesce(a["title_length"], F.lit(0)).alias("Title_Length"),
-        F.col("title_status").alias("Title_Status"),
-        _sim_nao(F.col("title_dup")).alias("Title_Duplicado"),
+        F.when(analyzed, F.col("title_status")).otherwise("").alias("Title_Status"),
+        _sim_nao_analyzed(F.col("title_dup"), analyzed).alias("Title_Duplicado"),
         F.col("meta_description").alias("Meta_Description"),
         F.coalesce(a["description_length"], F.lit(0)).alias("Description_Length"),
-        F.col("description_status").alias("Description_Status"),
-        _sim_nao(F.col("desc_dup")).alias("Description_Duplicada"),
+        F.when(analyzed, F.col("description_status")).otherwise("").alias("Description_Status"),
+        _sim_nao_analyzed(F.col("desc_dup"), analyzed).alias("Description_Duplicada"),
         F.coalesce(a["h1_count"], F.lit(0)).alias("H1_Count"),
         F.coalesce(a["h1_text"], F.lit("")).alias("H1_Text"),
-        _sim_nao(h1_ausente).alias("H1_Ausente"),
-        _sim_nao(h1_multiple).alias("H1_Multiple"),
-        _sim_nao(hier_ok).alias("Hierarquia_Correta"),
+        _sim_nao_analyzed(h1_ausente, analyzed).alias("H1_Ausente"),
+        _sim_nao_analyzed(h1_multiple, analyzed).alias("H1_Multiple"),
+        _sim_nao_analyzed(hier_ok, analyzed).alias("Hierarquia_Correta"),
         problematicos.alias("Headings_Problematicos_Total"),
         F.coalesce(a["headings_vazios_count"], F.lit(0)).alias("Headings_Vazios"),
         F.coalesce(a["headings_ocultos_count"], F.lit(0)).alias("Headings_Ocultos"),
@@ -247,14 +255,14 @@ def enrich_results(results: DataFrame) -> DataFrame:
         F.col("metatags_score").alias("Metatags_Score"),
         F.array_join(crit, " | ").alias("Critical_Issues"),
         F.array_join(all_warnings, " | ").alias("Warnings"),
-        _sim_nao(F.coalesce(a["has_mixed_content"], F.lit(False)))
+        _sim_nao_analyzed(F.coalesce(a["has_mixed_content"], F.lit(False)), analyzed)
         .alias("Has_Mixed_Content"),
         F.coalesce(a["mixed_content_count"], F.lit(0)).alias("Mixed_Content_Count"),
         critical_mixed.alias("Critical_Mixed_Count"),
         passive_mixed.alias("Passive_Mixed_Count"),
         F.coalesce(a["canonical_url"], F.lit("")).alias("Canonical_URL"),
         F.coalesce(a["meta_viewport"], F.lit("")).alias("Meta_Viewport"),
-        _sim_nao(F.coalesce(a["has_open_graph"], F.lit(False)))
+        _sim_nao_analyzed(F.coalesce(a["has_open_graph"], F.lit(False)), analyzed)
         .alias("Has_Open_Graph"),
         risk_level.alias("Risk_Level"),
         risk_score.alias("Risk_Score"),

@@ -1,0 +1,208 @@
+"""Training-data operators: text analysis, dedup families, similarity, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and the cat."),
+        (1, "The quick brown fox jumps over the lazy dog and the cat."),  # exact dup
+        (2, "The quick brown fox jumps over the lazy dog and the mouse."),  # near dup
+        (3, "não há nada que uma boa noite de sono não resolva para você."),
+        (4, "el gato y el perro corren por la casa para jugar una vez."),
+        (5, "zzz 12345 67890 !!! ??? @@@ ###"),
+        (6, "THE QUICK BROWN FOX jumps over the lazy dog, and the cat!"),  # fp dup of 0
+        (7, "completely different content about spark distributed engines."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_analysis_columns(docs):
+    from crawler_seo_spark.operators.text import with_text_analysis
+    out = {r["doc_id"]: r for r in with_text_analysis(docs).collect()}
+    assert out[0]["lang_id"] == "en"
+    assert out[3]["lang_id"] == "pt"
+    assert out[4]["lang_id"] == "es"
+    assert out[5]["lang_id"] == "und"
+    assert out[0]["n_tokens"] == 12
+    assert out[0]["quality_score"] > out[5]["quality_score"]
+    # fingerprint ignores case/punct: 0 and 6 collide, 0 and 2 don't
+    assert out[0]["fingerprint"] == out[6]["fingerprint"]
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_md5_hash32_matches_python(spark):
+    from crawler_seo_spark.operators.dedup import md5_hash32
+    df = spark.createDataFrame([("abcde",)], "s string")
+    got = df.select(md5_hash32(F.col("s")).alias("h")).collect()[0]["h"]
+    want = int(hashlib.md5(b"abcde").hexdigest()[:8], 16)
+    assert got == want
+
+
+def test_exact_duplicates(docs):
+    from crawler_seo_spark.operators.dedup import (
+        drop_exact_duplicates, exact_duplicates)
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3  # docs 0, 1, 6
+    assert groups[0]["keeper_id"] == 0
+    kept = drop_exact_duplicates(docs).select("doc_id").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert ids == {0, 2, 3, 4, 5, 7}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from crawler_seo_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    sigs = minhash_signatures(docs, k=32)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sigs, bands=16).collect()}
+    # exact dups always collide; near-dup 0-2 should too at 16 bands
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (0, 7) not in pairs
+
+
+def test_minhash_signature_matches_numpy(docs):
+    """Differential: Spark per-row MinHash vs a straightforward Python
+    reimplementation of the same formula."""
+    from crawler_seo_spark.operators.dedup import (
+        MERSENNE31, minhash_params, minhash_signatures)
+    import re
+    sigs = {r["doc_id"]: r["signature"]
+            for r in minhash_signatures(docs, k=8).collect()}
+    params = minhash_params(8)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in rows.items():
+        norm = re.sub(r"\s+", " ", re.sub(r"[^\w]+", " ", text.lower(),
+                                          flags=re.UNICODE)).strip()
+        n = 5
+        cnt = max(len(norm) - (n - 1), 1)
+        sh = [norm[i:i + n] for i in range(cnt)]
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MERSENNE31
+              for s in sh]
+        want = [min((a * h + b) % MERSENNE31 for h in hs) for a, b in params]
+        assert list(sigs[did]) == want, did
+
+
+def test_simhash_near_dups(docs):
+    from crawler_seo_spark.operators.dedup import simhash_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+    assert (0, 7) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    from crawler_seo_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 8))
+    base[1] = base[0] + 0.01 * rng.standard_normal(8)   # near-dup of 0
+    base[2] = -base[0]                                   # anti-correlated
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_duplicates(vectors):
+    from crawler_seo_spark.operators.dedup import embedding_near_duplicates
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(vectors, threshold=0.98).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    from crawler_seo_spark.operators.similarity import brute_force_topk
+    queries = vectors.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id")
+    got = brute_force_topk(vectors, queries, k=3).collect()
+    emb = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    for qid in range(3):
+        qv = emb[qid]
+        cos = {i: round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6)
+               for i, v in emb.items()}
+        want = sorted(cos, key=lambda i: (-cos[i], i))[:3]
+        mine = [r["vec_id"] for r in sorted(
+            (x for x in got if x["query_id"] == qid), key=lambda r: r["rank"])]
+        assert mine == want, qid
+
+
+def test_lsh_topk_recall(vectors):
+    from crawler_seo_spark.operators.similarity import (
+        brute_force_topk, lsh_bucketed_topk)
+    queries = vectors.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id")
+    exact = brute_force_topk(vectors, queries, k=1).collect()
+    approx = lsh_bucketed_topk(vectors, queries, k=1, n_planes=4).collect()
+    # self-match (cosine 1.0) must always be found — same bucket by identity
+    exact_top = {r["query_id"]: r["vec_id"] for r in exact}
+    approx_top = {r["query_id"]: r["vec_id"] for r in approx}
+    for qid in range(5):
+        assert exact_top[qid] == qid
+        assert approx_top[qid] == qid
+
+
+def test_ivf_topk_self_match(vectors):
+    from crawler_seo_spark.operators.similarity import ivf_assign, ivf_topk
+    assigned, cents = ivf_assign(vectors, n_lists=4)
+    queries = vectors.filter("vec_id < 4").withColumnRenamed(
+        "vec_id", "query_id")
+    got = ivf_topk(assigned, cents, queries, k=1, nprobe=2).collect()
+    top = {r["query_id"]: r["vec_id"] for r in got}
+    for qid in range(4):
+        assert top[qid] == qid
+
+
+def test_multimodal_decode_validate_resize(spark):
+    from crawler_seo_spark.operators.multimodal import (
+        decode_images, resize_images, validate_images)
+    from crawler_seo_spark.sources.images import generate_images
+    rows = generate_images(24)
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    dec = decode_images(df).collect()
+    assert all(r["ok"] for r in dec)
+    val = validate_images(df).collect()
+    assert all(r["decode_ok"] and r["pixels_ok"] and r["phash_ok"]
+               and r["caption_ok"] for r in val)
+    res = resize_images(df, 16, 16).collect()
+    assert all(r["w"] == 16 and r["h"] == 16 for r in res)
+    # corrupt payload does not kill the job
+    bad = spark.createDataFrame(
+        [("img-bad", b"\x00\x01junk", 4, 4, "png", "x", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
+    dbad = decode_images(bad).collect()
+    assert dbad[0]["ok"] is False and dbad[0]["err"]
+
+
+def test_frame_sample_is_stubbed(spark):
+    from crawler_seo_spark.operators.multimodal import frame_sample
+    from crawler_seo_spark.sources.images import generate_images
+    df = spark.createDataFrame(
+        generate_images(2),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
+    out = frame_sample(df)
+    assert out.schema.simpleString() == \
+        "struct<image_id:string,frame_no:int,bytes:binary>"
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    with _pt.raises(Exception):
+        out.collect()
