@@ -74,13 +74,14 @@ def main() -> None:
     from crawler_seo_spark.operators.text import with_text_analysis
     timed("t_text_analysis_full", lambda: force(with_text_analysis(docs)))
     timed("d_exact_dedup_full", lambda: force(exact_duplicates(docs)))
-    sigs = minhash_signatures(docs, k=32).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, k=32, shingle_mode="word", shingle_n=3,
+                              hash_mode="xxhash64").localCheckpoint(eager=False)
     timed("d_minhash_signatures_full", lambda: force(sigs))
     timed("d_lsh_candidate_pairs",
           lambda: force(lsh_candidate_pairs(sigs, bands=8)))
     timed("d_simhash_full",
           lambda: force(docs.select(
-              "doc_id", simhash64(F.col("text")).alias("sh"))))
+              "doc_id", simhash64(F.col("text"), hash_mode="xxhash64").alias("sh"))))
 
     # --- similarity search ----------------------------------------------------
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

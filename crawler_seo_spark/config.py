@@ -158,6 +158,10 @@ class CrawlConfig:
     bloom_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20
     bloom_num_hashes: int = 5
+    # Engage the Bloom prefilter only once the seen set is large enough
+    # that the prune pays for its build/probe jobs; below this the exact
+    # anti-join alone is cheaper. 0 = always on (tests).
+    bloom_min_seen: int = 100_000
     host_salt_buckets: int = 8  # salt fan-out for hot hosts
     checkpoint_dir: str | None = None  # enable per-round snapshots when set
     robots_default_allow: bool = True  # reference has no robots.txt support

@@ -91,7 +91,6 @@ class CrawlEngine:
         frontier = self.spark.createDataFrame(
             [(seed, 0, 1 if self.config.smart else 0, 0, 0)], FRONTIER_SCHEMA)
         seen = self.spark.createDataFrame([(seed, url_md5(seed))], SEEN_SCHEMA)
-        self.bloom.add_urls(seen.select("url"))
         return frontier, seen
 
     def _fetch(self, batch: DataFrame) -> DataFrame:
@@ -132,6 +131,9 @@ class CrawlEngine:
         results_count = 0
         next_discovery_seq = 1  # 0 = seed
         frontier_count = 1
+        seen_count = 1
+        bloom_active = False
+        n_parts = self.spark.sparkContext.defaultParallelism
         round_id = 0
 
         while frontier_count > 0 and results_count < cfg.max_urls:
@@ -210,7 +212,18 @@ class CrawlEngine:
                           .filter(F.col("_rn") == 1).drop("_rn"))
 
             # --- J1: bloom prune + exact anti-join, then robots -----------------
-            new_links = self.bloom.prune_new(candidates, seen)
+            # The Bloom prefilter is the 10^10-scale scan-saver; below the
+            # threshold its build/probe jobs cost more than the plain
+            # anti-join, so it stays cold (exactness is identical either
+            # way — the prune only bypasses join probes).
+            if not bloom_active and seen_count >= cfg.bloom_min_seen:
+                self.bloom.add_urls(seen.select("url"))  # backfill once
+                bloom_active = True
+            if bloom_active:
+                new_links = self.bloom.prune_new(candidates, seen)
+            else:
+                new_links = candidates.join(seen.select("url"), "url",
+                                            "left_anti")
             new_links = filter_allowed(new_links, self.robots)
 
             # --- deterministic discovery_seq ------------------------------------
@@ -234,22 +247,31 @@ class CrawlEngine:
             next_discovery_seq += enqueued
 
             # --- merge frontier & seen (Iceberg MERGE INTO equivalent) ---------
+            # repartition pins the partition count (unions otherwise grow it
+            # every round) and hash-partitions on url so the next round's
+            # anti-joins are co-located.
             remaining = frontier.join(F.broadcast(batch.select("url")),
                                       "url", "left_anti")
-            frontier = remaining.unionByName(new_frontier) \
-                                .localCheckpoint(eager=True)
+            frontier = (remaining.unionByName(new_frontier)
+                        .repartition(n_parts, "url")
+                        .localCheckpoint(eager=True))
             frontier_count = frontier_count - batch_count + enqueued
             new_seen = new_frontier.select(
                 "url", F.md5(F.col("url")).alias("url_md5"))
-            seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
-            self.bloom.add_urls(new_frontier.select("url"))
+            seen = (seen.unionByName(new_seen)
+                    .repartition(n_parts, "url")
+                    .localCheckpoint(eager=True))
+            seen_count += enqueued
+            if bloom_active:
+                self.bloom.add_urls(new_frontier.select("url"))
 
             rounds.append({
                 "round": round_id, "dequeued": batch_count,
                 "enqueued": enqueued, "frontier_after": frontier_count,
-                "results_total": results_count,
+                "results_total": results_count, "seen_total": seen_count,
+                "bloom_active": bloom_active,
                 "bloom_inserted": self.bloom.n_inserted,
-                "partitions": frontier.rdd.getNumPartitions(),
+                "partitions": n_parts,
                 "wall_ms": round((time.monotonic() - t0) * 1000, 1),
             })
 

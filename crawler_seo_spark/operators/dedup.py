@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,19 +88,131 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def token_hashes_col(text: Column, hash_mode: str = "xxhash64") -> Column:
+    """Per-token hash array — ONE pass over the token array.
+
+    Scale note: any expression that indexes back into the token array from
+    inside another higher-order lambda (e.g. ``get(tokens, i+j)`` to build
+    word n-grams) re-evaluates the token-array expression per element —
+    Catalyst inlines, it does not materialize — turning shingling O(n²) per
+    row (measured 50× slowdown). Keep lambdas element-local; combine
+    consecutive tokens arithmetically downstream instead.
+    """
+    norm = normalized_text_col(text)
+    tokens = F.filter(F.split(norm, " "), lambda t: t != "")
+    if hash_mode == "md5":
+        return F.transform(tokens, lambda t: md5_hash32(t) % MERSENNE31)
+    return F.transform(
+        tokens, lambda t: F.pmod(F.xxhash64(t, F.lit(42)), F.lit(MERSENNE31)))
+
+
+def _shingle_hashes(text: Column, shingle_n: int, shingle_mode: str,
+                    hash_mode: str) -> Column:
+    """Char-shingle hash array (JVM-side). For word shingles use
+    :func:`token_hashes_col` + numpy windowed combination (see
+    minhash_signatures) — never string n-gram materialization."""
+    sh = shingles_col(text, shingle_n)
+    if hash_mode == "md5":
+        # cross-engine-reproducible (DuckDB oracle) but ~10× slower
+        return F.transform(sh, lambda s: md5_hash32(s) % MERSENNE31)
+    return F.transform(
+        sh, lambda s: F.pmod(F.xxhash64(s, F.lit(42)), F.lit(MERSENNE31)))
+
+
+_SHINGLE_POLY = 1_000_003  # polynomial base for word-shingle combination
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 32,
-                       shingle_n: int = 5, seed: int = 42) -> DataFrame:
-    """(id, signature array<long>) — fully per-row, zero shuffles."""
-    sh = shingles_col(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: md5_hash32(s) % MERSENNE31)
+                       shingle_n: int = 5, seed: int = 42,
+                       shingle_mode: str = "char",
+                       hash_mode: str = "md5",
+                       impl: str = "arrow") -> DataFrame:
+    """(id, signature array<long>) — fully per-row, zero shuffles.
+
+    Two implementations with identical outputs:
+
+    * ``impl="arrow"`` (default): shingle hashes JVM-side, k-way min as
+      numpy broadcasting over Arrow batches. Catalyst higher-order-function
+      lambdas are interpreted per element (not codegen'd), so the pure-SQL
+      fold pays ~300 ns/element; the Arrow path does the same arithmetic at
+      memory bandwidth.
+    * ``impl="sql"``: single ``aggregate``/``zip_with`` fold — zero Python,
+      for clusters where the Arrow channel is the bottleneck. (The naive
+      ``array(*[array_min(transform(hashes, …))])`` form is ~k× worse
+      still — Catalyst re-evaluates the hash array per permutation, no CSE
+      across lambdas; measured and rejected.)
+    """
     params = minhash_params(k, seed)
-    sig = F.array(*[
-        F.array_min(F.transform(
-            hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31))
-        for a, b in params
-    ])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    if shingle_mode == "word":
+        # word shingles: token hashes JVM-side, windowed polynomial
+        # combination + k-min in numpy (shingle hash = Σ h[i+j]·P^j mod M)
+        assert impl == "arrow", "word shingles are Arrow-path only"
+        tok = token_hashes_col(F.col(text_col), hash_mode)
+        a_vec = np.array([a for a, _ in params], dtype=np.int64)
+        b_vec = np.array([b for _, b in params], dtype=np.int64)
+        n = shingle_n
+
+        @F.pandas_udf("array<long>")
+        def _minhash_word(hh: pd.Series) -> pd.Series:
+            out = []
+            for h in hh:
+                if h is None or len(h) == 0:
+                    out.append([MERSENNE31] * len(a_vec))
+                    continue
+                hv = np.asarray(h, dtype=np.int64)
+                if len(hv) >= n:
+                    sh = hv[: len(hv) - n + 1].copy()
+                    for j in range(1, n):
+                        sh = (sh * _SHINGLE_POLY
+                              + hv[j: len(hv) - n + 1 + j]) % MERSENNE31
+                else:
+                    sh = hv % MERSENNE31
+                sig = ((sh[:, None] * a_vec[None, :] + b_vec[None, :])
+                       % MERSENNE31).min(axis=0)
+                out.append(sig.tolist())
+            return pd.Series(out)
+
+        return df.select(F.col(id_col),
+                         _minhash_word(tok).alias("signature"))
+
+    hashes = _shingle_hashes(F.col(text_col), shingle_n, shingle_mode,
+                             hash_mode)
+    if impl == "sql":
+        params_col = F.array(*[
+            F.struct(F.lit(a).cast("long").alias("a"),
+                     F.lit(b).cast("long").alias("b"))
+            for a, b in params])
+        init = F.array_repeat(F.lit(MERSENNE31).cast("long"), k)
+        sig = F.aggregate(
+            hashes, init,
+            lambda acc, h: F.zip_with(
+                acc, params_col,
+                lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MERSENNE31)))
+        return df.select(F.col(id_col), sig.alias("signature"))
+
+    # Arrow path (default): hash array computed JVM-side in ONE pass, then
+    # the k-way min runs as numpy broadcasting over Arrow batches —
+    # (n_shingles × k) int64 ops vectorized in C. Exact same values as the
+    # SQL form (products < 2^51, no overflow).
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _minhash(hh: pd.Series) -> pd.Series:
+        out = []
+        for h in hh:
+            if h is None or len(h) == 0:
+                out.append([MERSENNE31] * len(a_vec))
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            sig = ((hv[:, None] * a_vec[None, :] + b_vec[None, :])
+                   % MERSENNE31).min(axis=0)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col),
+                     _minhash(hashes).alias("signature"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
@@ -136,38 +250,74 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column, bits: int = 32) -> Column:
+def simhash64(text: Column, bits: int = 32,
+              hash_mode: str = "md5", impl: str = "arrow") -> Column:
     """SimHash over whitespace tokens of the normalized text (per-row).
 
     For each bit position b, the bit is 1 iff more token hashes have bit b
     set than unset (Charikar's construction). 32 bits by default — enough
     Hamming resolution for near-dup bucketing while staying in exact int64
     arithmetic on both engines.
+
+    Single ``aggregate`` pass folding each token hash into the per-bit
+    counter array (see minhash_signatures for why the per-bit-transform
+    form is pathological).
     """
     norm = normalized_text_col(text)
     tokens = F.filter(F.split(norm, " "), lambda t: t != "")
-    hashes = F.transform(tokens, lambda t: md5_hash32(t))
-    n = F.size(hashes)
-    bit_vals = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                hashes, F.lit(0).cast("long"),
-                lambda acc, h: acc + F.floor(h / F.pow(F.lit(2.0), b)
-                                             .cast("long")).cast("long") % 2
-            ) * 2 > n, F.lit(1)).otherwise(F.lit(0)))
-    return F.aggregate(
-        bit_vals, F.lit(0).cast("long"),
-        lambda acc, bit: acc * 2 + bit)
+    if hash_mode == "md5":
+        hashes = F.transform(tokens, lambda t: md5_hash32(t))
+    else:
+        hashes = F.transform(
+            tokens,
+            lambda t: F.pmod(F.xxhash64(t, F.lit(42)),
+                             F.lit(1 << 32).cast("long")))
+    if impl == "sql":
+        n = F.size(hashes)
+        bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+        counts = F.aggregate(
+            hashes, F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(
+                acc, bit_idx,
+                lambda c, b: c + F.floor(h / F.pow(F.lit(2.0), b))
+                                  .cast("long") % 2))
+        bit_vals = F.transform(
+            counts, lambda c: F.when(c * 2 > n, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(
+            bit_vals, F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit)
+
+    # Arrow path: token hashes JVM-side, majority-bit vote vectorized.
+    @F.pandas_udf("long")
+    def _simhash(hh: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.int64)
+        out = np.zeros(len(hh), dtype=np.int64)
+        for i, h in enumerate(hh):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            ones = ((hv[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+            bitv = (ones * 2 > len(hv)).astype(np.int64)
+            # bit 0 is most significant (matches the SQL fold acc*2+bit)
+            val = 0
+            for b in bitv:
+                val = (val << 1) | int(b)
+            out[i] = val
+        return pd.Series(out)
+
+    return _simhash(hashes)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32,
-                  band_bits: int = 8, max_hamming: int = 3) -> DataFrame:
+                  band_bits: int = 8, max_hamming: int = 3,
+                  hash_mode: str = "md5") -> DataFrame:
     """Near-dup pairs by SimHash: band the hash into ``bits/band_bits``
     chunks (pigeonhole: hamming ≤ bands-1 guarantees a shared band), join on
     any equal band, verify Hamming distance exactly via bit_count(xor)."""
-    h = df.select(F.col(id_col), simhash64(F.col(text_col), bits).alias("sh"))
+    h = df.select(F.col(id_col),
+                  simhash64(F.col(text_col), bits, hash_mode).alias("sh"))
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = h.select(

@@ -78,6 +78,20 @@ def test_batch_size_one_exact(spark, small_site, pages_df):
     assert got == want
 
 
+def test_bloom_path_exact(spark, small_site, pages_df):
+    """With bloom_min_seen=0 the Bloom prefilter is active from round 0 —
+    results must be identical (false positives only cost join probes)."""
+    oracle, engine = _run_both(spark, small_site, pages_df,
+                               max_urls=80, batch_size=20, smart=True,
+                               bloom_min_seen=0, bloom_shards=8,
+                               bloom_bits_per_shard=1 << 14)
+    assert any(r["bloom_active"] for r in engine.rounds)
+    got = [r["url"] for r in engine.crawl_order.orderBy("crawl_seq").collect()]
+    want = [r["url"] for r in oracle.crawl_order][:80]
+    assert got == want
+    assert {r["url"] for r in engine.seen.collect()} == oracle.seen_urls
+
+
 def test_budget_cut_mid_batch(spark, small_site, pages_df):
     """max_urls not divisible by batch_size → final partial batch."""
     oracle, engine = _run_both(spark, small_site, pages_df,
