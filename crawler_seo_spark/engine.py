@@ -68,10 +68,16 @@ class CrawlEngine:
 
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  config: CrawlConfig,
-                 robots_rules: dict[str, list[str]] | None = None) -> None:
+                 robots_rules: dict[str, list[str]] | None = None,
+                 analyzers: list | None = None) -> None:
+        """``analyzers``: optional plug-in column analyzers — each a
+        ``DataFrame -> DataFrame`` adding columns to the per-round result
+        (the Spark form of the reference's duck-typed ``.analyze(soup, url)``
+        protocol, core/crawler.py:169-174)."""
         self.spark = spark
         self.pages = pages
         self.config = config
+        self.analyzers = analyzers or []
         self.base_domain = base_domain_of(config.seed_url)
         self.bloom = ShardedBloom(config.bloom_shards,
                                   config.bloom_bits_per_shard,
@@ -118,23 +124,55 @@ class CrawlEngine:
         )
         return found.unionByName(missing_filled.select(*found.columns))
 
-    # ------------------------------------------------------------------
-    def run(self) -> CrawlState:
-        cfg = self.config
-        frontier, seen = self._seed_frontier()
-        frontier = frontier.localCheckpoint(eager=True)
-        seen = seen.localCheckpoint(eager=True)
+    @staticmethod
+    def _filtered_from(result: DataFrame) -> DataFrame:
+        return (result
+                .select("round",
+                        F.explode(F.coalesce(
+                            F.col("analysis.filtered"),
+                            F.array().cast(
+                                "array<struct<url:string,reason:string>>")))
+                        .alias("f"))
+                .select(F.col("f.url").alias("url"),
+                        F.col("f.reason").alias("reason"), "round"))
 
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = False) -> CrawlState:
+        """Run the crawl; with ``resume=True`` continue from the last
+        committed snapshot round (bit-identical to an uninterrupted run —
+        every per-round input is reconstructed from the snapshot store)."""
+        cfg = self.config
         results_parts: list[DataFrame] = []
         filtered_parts: list[DataFrame] = []
         rounds: list[dict] = []
-        results_count = 0
-        next_discovery_seq = 1  # 0 = seed
-        frontier_count = 1
-        seen_count = 1
-        bloom_active = False
         n_parts = self.spark.sparkContext.defaultParallelism
-        round_id = 0
+
+        manifest = self.store.manifest() if (resume and self.store) else None
+        if manifest is not None:
+            last, c = manifest["round"], manifest["counters"]
+            frontier = self.store.read(self.spark, "frontier", last) \
+                .localCheckpoint(eager=True)
+            seen = self.store.read(self.spark, "seen", last) \
+                .localCheckpoint(eager=True)
+            for r in range(last + 1):
+                part = self.store.read(self.spark, "results", r)
+                results_parts.append(part)
+                filtered_parts.append(self._filtered_from(part))
+            results_count = c["results_total"]
+            next_discovery_seq = c["next_discovery_seq"]
+            frontier_count = c["frontier_after"]
+            seen_count = c["seen_total"]
+            round_id = last + 1
+        else:
+            frontier, seen = self._seed_frontier()
+            frontier = frontier.localCheckpoint(eager=True)
+            seen = seen.localCheckpoint(eager=True)
+            results_count = 0
+            next_discovery_seq = 1  # 0 = seed
+            frontier_count = 1
+            seen_count = 1
+            round_id = 0
+        bloom_active = False
 
         while frontier_count > 0 and results_count < cfg.max_urls:
             t0 = time.monotonic()
@@ -158,6 +196,14 @@ class CrawlEngine:
             # --- S2: per-host politeness schedule ------------------------------
             batch = schedule_fetches(batch, cfg.requests_per_second)
 
+            # --- J4: salted host repartition — one hot host's fetches spread
+            # over salt buckets (each row keeps its politeness slot, so the
+            # rate budget still holds; the skew kill is for fetch/parse work)
+            if cfg.host_salt_buckets > 1:
+                from .operators.politeness import salted_repartition
+                batch = salted_repartition(
+                    batch, cfg.host_salt_buckets).drop("host_salt")
+
             # --- S1: fetch + F6/F7 gates + parse/analyze -----------------------
             fetched = self._fetch(batch)
             analyzed_cond = ((F.col("status_code") == 200)
@@ -177,22 +223,16 @@ class CrawlEngine:
                         "final_url", "response_time_ms", "content_length",
                         "headers", "host", "fetch_slot", "scheduled_offset_ms",
                         "analysis")
-                .localCheckpoint(eager=True)
             )
+            # P2 plug-in analyzers: column pipelines over the round's result
+            for analyzer_fn in self.analyzers:
+                result = analyzer_fn(result)
+            result = result.localCheckpoint(eager=True)
             results_parts.append(result)
             results_count += batch_count
 
             # --- filtered-log append (per occurrence, reference semantics) ----
-            filtered_parts.append(
-                result
-                .select("round",
-                        F.explode(F.coalesce(
-                            F.col("analysis.filtered"),
-                            F.array().cast(
-                                "array<struct<url:string,reason:string>>")))
-                        .alias("f"))
-                .select(F.col("f.url").alias("url"),
-                        F.col("f.reason").alias("reason"), "round"))
+            filtered_parts.append(self._filtered_from(result))
 
             # --- candidate links: posexplode keeps page order ------------------
             candidates = (
@@ -269,6 +309,7 @@ class CrawlEngine:
                 "round": round_id, "dequeued": batch_count,
                 "enqueued": enqueued, "frontier_after": frontier_count,
                 "results_total": results_count, "seen_total": seen_count,
+                "next_discovery_seq": next_discovery_seq,
                 "bloom_active": bloom_active,
                 "bloom_inserted": self.bloom.n_inserted,
                 "partitions": n_parts,

@@ -69,7 +69,8 @@ def salted_repartition(df: DataFrame, salt_buckets: int,
     aggregation (one shuffle) — at production scale you'd maintain host
     statistics across rounds instead of recounting.
     """
-    df = with_host(df, url_col)
+    if "host" not in df.columns:
+        df = with_host(df, url_col)
     salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)).cast("int")
     if hot_threshold is not None:
         from pyspark.sql import Window

@@ -44,9 +44,26 @@ class SnapshotStore:
             return None
 
     def commit_round(self, round_id: int, counters: dict) -> None:
+        payload = {"round": round_id, "counters": counters}
+        hist_dir = os.path.join(self.root, "rounds")
+        os.makedirs(hist_dir, exist_ok=True)
+        with open(os.path.join(hist_dir, f"r{round_id:05d}.json"), "w") as f:
+            json.dump(payload, f, indent=1)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"round": round_id, "counters": counters}, f, indent=1)
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    def rollback(self, round_id: int) -> None:
+        """Reset the committed state to ``round_id`` (crash simulation /
+        manual recovery): later snapshot dirs become unreferenced garbage,
+        exactly as after a crash between data write and manifest publish."""
+        with open(os.path.join(self.root, "rounds",
+                               f"r{round_id:05d}.json")) as f:
+            payload = json.load(f)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
         os.replace(tmp, self._manifest_path)
 
     # -- table snapshots ---------------------------------------------------

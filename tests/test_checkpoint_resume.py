@@ -1,0 +1,55 @@
+"""Checkpoint/resume: a killed run resumed from the snapshot store must be
+bit-identical to the uninterrupted run (north-rule requirement).
+
+Kill simulation: run to completion with per-round snapshots, roll the
+manifest back to an intermediate round (= crash after that round's commit;
+later data dirs are unreferenced garbage), resume with the SAME budget.
+Round boundaries depend on the remaining budget (reference batch cut,
+core/crawler.py:95-106), so resume-with-same-budget is the bit-identical
+contract; growing the budget is a different crawl by definition.
+"""
+
+import tempfile
+
+from crawler_seo_spark.config import CrawlConfig
+from crawler_seo_spark.engine import CrawlEngine
+from crawler_seo_spark.sources.synthetic_site import SEED_URL
+from crawler_seo_spark.tables import SnapshotStore
+
+
+def _order(state):
+    return [(r["crawl_seq"], r["url"], r["depth"], r["priority"], r["round"])
+            for r in state.crawl_order.orderBy("crawl_seq").collect()]
+
+
+def test_resume_bit_identical(spark, pages_df):
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_")
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=60, batch_size=15,
+                      checkpoint_dir=ckpt)
+    full = CrawlEngine(spark, pages_df, cfg).run()
+    full_order = _order(full)
+
+    store = SnapshotStore(ckpt)
+    last = store.manifest()["round"]
+    assert last >= 2
+    kill_at = last // 2
+    store.rollback(kill_at)
+    assert store.manifest()["round"] == kill_at
+
+    resumed = CrawlEngine(spark, pages_df, cfg).run(resume=True)
+    assert _order(resumed) == full_order
+    assert {r["url"] for r in resumed.seen.collect()} \
+        == {r["url"] for r in full.seen.collect()}
+    got_f = sorted((r["url"], r["reason"]) for r in resumed.filtered.collect())
+    want_f = sorted((r["url"], r["reason"]) for r in full.filtered.collect())
+    assert got_f == want_f
+    # resumed rounds continue exactly after the kill point
+    assert resumed.rounds[0]["round"] == kill_at + 1
+
+
+def test_resume_without_manifest_starts_fresh(spark, pages_df):
+    ckpt = tempfile.mkdtemp(prefix="fresh_ckpt_")
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=10, batch_size=5,
+                      checkpoint_dir=ckpt)
+    state = CrawlEngine(spark, pages_df, cfg).run(resume=True)  # no manifest
+    assert state.crawl_order.count() == 10

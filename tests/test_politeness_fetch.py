@@ -1,0 +1,104 @@
+"""Politeness semantics: per-host rate budgets, salting invariants, and the
+live fetch stage's pacing (with an injected fetcher — no network here)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_seo_spark.operators.politeness import (
+    salted_repartition,
+    schedule_fetches,
+)
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    rows = [(f"https://host{i % 3}.test/p{i}", i, 0, i) for i in range(30)]
+    return spark.createDataFrame(
+        rows, "url string, crawl_seq long, depth int, discovery_seq long")
+
+
+def test_schedule_respects_rate(batch):
+    out = schedule_fetches(batch, requests_per_second=5.0).collect()
+    by_host: dict[str, list] = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 3
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r["crawl_seq"])
+        # slots are consecutive in dequeue order; interval = 200ms at 5 rps
+        assert [r["fetch_slot"] for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r["scheduled_offset_ms"] == pytest.approx(
+                r["fetch_slot"] * 200.0)
+
+
+def test_schedule_is_parallelism_independent(spark, batch):
+    a = {(r["url"], r["fetch_slot"]) for r in
+         schedule_fetches(batch, 10.0).collect()}
+    b = {(r["url"], r["fetch_slot"]) for r in
+         schedule_fetches(batch.repartition(13), 10.0).collect()}
+    assert a == b
+
+
+def test_salted_repartition_preserves_rows_and_bounds_salt(batch):
+    out = salted_repartition(schedule_fetches(batch, 10.0), salt_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert {r["host_salt"] for r in rows} <= {0, 1, 2, 3}
+    # deterministic: same url → same salt
+    again = {r["url"]: r["host_salt"]
+             for r in salted_repartition(
+                 schedule_fetches(batch, 10.0), salt_buckets=4).collect()}
+    for r in rows:
+        assert again[r["url"]] == r["host_salt"]
+
+
+def test_fetch_batch_paces_and_returns_schema(spark, batch):
+    from crawler_seo_spark.sources.fetch import fetch_batch
+
+    def fake_fetch_factory():
+        def fetch(url: str) -> dict:
+            return {"status_code": 200, "content_type": "text/html",
+                    "final_url": url, "response_time_ms": 1.0,
+                    "content_length": 10, "html": "<html></html>",
+                    "headers": {"content-type": "text/html"}}
+        return fetch
+
+    scheduled = schedule_fetches(batch.filter("crawl_seq < 8"), 40.0) \
+        .coalesce(1)
+    t0 = time.monotonic()
+    out = fetch_batch(scheduled, fake_fetch_factory).collect()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 8
+    assert all(r["status_code"] == 200 for r in out)
+    # 3 hosts × ≤3 rows at 40 rps → last slot ≈ 50 ms; pacing adds ≥ that
+    assert elapsed >= 0.05
+
+
+def test_fetch_batch_error_rows_survive(spark, batch):
+    from crawler_seo_spark.sources.fetch import fetch_batch
+
+    def flaky_factory():
+        def fetch(url: str) -> dict:
+            raise RuntimeError("boom")
+        return fetch
+
+    def wrapped_factory():
+        inner = flaky_factory()
+
+        def fetch(url: str) -> dict:
+            try:
+                return inner(url)
+            except Exception as e:
+                return {"status_code": 0, "content_type": "",
+                        "final_url": url, "response_time_ms": 0.0,
+                        "content_length": 0, "html": "",
+                        "headers": {"x-error": str(e)}}
+        return fetch
+
+    scheduled = schedule_fetches(batch.filter("crawl_seq < 4"), 1000.0)
+    out = fetch_batch(scheduled, wrapped_factory).collect()
+    assert len(out) == 4
+    assert all(r["status_code"] == 0 for r in out)
