@@ -148,6 +148,9 @@ class CrawlConfig:
     """Run configuration for the distributed crawl engine."""
 
     seed_url: str = "https://shop.example.test/"
+    # Multi-seed variant (FIXTURES.md §4): when set, the frontier starts
+    # with this list (discovery_seq by list order; seed_url ignored).
+    seed_urls: list[str] | None = None
     max_urls: int = MAX_URLS_DEFAULT
     max_depth: int = MAX_DEPTH_DEFAULT
     batch_size: int = MAX_THREADS_DEFAULT  # per-round dequeue budget
@@ -162,6 +165,11 @@ class CrawlConfig:
     # that the prune pays for its build/probe jobs; below this the exact
     # anti-join alone is cheaper. 0 = always on (tests).
     bloom_min_seen: int = 100_000
+    # Candidate counts at or above this use the distributed prefix-sum
+    # sequence assignment instead of a single-task window.
+    seq_window_threshold: int = 200_000
+    # Compact (checkpoint) the lazily-unioned seen set every K rounds.
+    seen_compact_every: int = 8
     host_salt_buckets: int = 8  # salt fan-out for hot hosts
     checkpoint_dir: str | None = None  # enable per-round snapshots when set
     robots_default_allow: bool = True  # reference has no robots.txt support

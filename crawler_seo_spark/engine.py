@@ -88,16 +88,38 @@ class CrawlEngine:
                       if config.checkpoint_dir else None)
 
     # ------------------------------------------------------------------
-    def _seed_frontier(self) -> tuple[DataFrame, DataFrame]:
-        from .functions.urlnorm import canonicalize_url, filter_reason, url_md5
-        seed = canonicalize_url(self.config.seed_url, None, self.base_domain)
-        if seed is None or filter_reason(seed):
-            raise ValueError(f"seed URL rejected: {self.config.seed_url}")
-        # reference seeds with priority=True in smart mode (crawler.py:294)
-        frontier = self.spark.createDataFrame(
-            [(seed, 0, 1 if self.config.smart else 0, 0, 0)], FRONTIER_SCHEMA)
-        seen = self.spark.createDataFrame([(seed, url_md5(seed))], SEEN_SCHEMA)
-        return frontier, seen
+    def _seed_frontier(self) -> tuple[DataFrame, DataFrame, int]:
+        from .functions.urlnorm import (
+            canonicalize_url,
+            filter_reason,
+            is_priority,
+            url_md5,
+        )
+        raw_seeds = self.config.seed_urls or [self.config.seed_url]
+        rows, seen_rows, registered = [], [], set()
+        for raw in raw_seeds:
+            seed = canonicalize_url(raw, None, self.base_domain)
+            if seed is None or filter_reason(seed):
+                if self.config.seed_urls:
+                    continue  # multi-seed: skip rejected entries
+                raise ValueError(f"seed URL rejected: {raw}")
+            if seed in registered:
+                continue
+            registered.add(seed)
+            # single-seed reference behavior: priority=True in smart mode
+            # (crawler.py:294); multi-seed: classify by pattern
+            if self.config.seed_urls:
+                prio = 1 if (self.config.smart and is_priority(
+                    seed, self.config.priority_patterns)) else 0
+            else:
+                prio = 1 if self.config.smart else 0
+            rows.append((seed, 0, prio, len(rows), 0))
+            seen_rows.append((seed, url_md5(seed)))
+        if not rows:
+            raise ValueError("no admissible seed URLs")
+        frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        seen = self.spark.createDataFrame(seen_rows, SEEN_SCHEMA)
+        return frontier, seen, len(rows)
 
     def _fetch(self, batch: DataFrame) -> DataFrame:
         """Synthetic fetch: broadcast the (small) batch into a hash join
@@ -164,13 +186,13 @@ class CrawlEngine:
             seen_count = c["seen_total"]
             round_id = last + 1
         else:
-            frontier, seen = self._seed_frontier()
+            frontier, seen, n_seeds = self._seed_frontier()
             frontier = frontier.localCheckpoint(eager=True)
             seen = seen.localCheckpoint(eager=True)
             results_count = 0
-            next_discovery_seq = 1  # 0 = seed
-            frontier_count = 1
-            seen_count = 1
+            next_discovery_seq = n_seeds
+            frontier_count = n_seeds
+            seen_count = n_seeds
             round_id = 0
         bloom_active = False
 
@@ -267,12 +289,31 @@ class CrawlEngine:
             new_links = filter_allowed(new_links, self.robots)
 
             # --- deterministic discovery_seq ------------------------------------
-            seq_w = Window.orderBy("parent_seq", "link_pos")
+            # Sequence = rank in (parent_seq, link_pos) order. Small rounds
+            # use a window (one task, cheap); large rounds use the
+            # distributed prefix-sum construction (repartitionByRange +
+            # per-partition offsets, operators/sequence.py) — a global
+            # window would funnel millions of candidates through a single
+            # reducer at the 10^10 design point.
+            new_links = (new_links
+                         .select("url", "parent_seq", "link_pos",
+                                 "parent_depth")
+                         .localCheckpoint(eager=True))
+            enqueued = new_links.count()
+            order_cols = [F.asc("parent_seq"), F.asc("link_pos")]
+            if enqueued >= cfg.seq_window_threshold:
+                from .operators.sequence import global_sequence
+                numbered = global_sequence(
+                    new_links, order_cols, "discovery_seq",
+                    start=next_discovery_seq).localCheckpoint(eager=True)
+            else:
+                seq_w = Window.orderBy(*order_cols)
+                numbered = new_links.withColumn(
+                    "discovery_seq",
+                    (F.row_number().over(seq_w) - 1
+                     + F.lit(next_discovery_seq)).cast("long"))
             new_frontier = (
-                new_links
-                .withColumn("discovery_seq",
-                            (F.row_number().over(seq_w) - 1
-                             + F.lit(next_discovery_seq)).cast("long"))
+                numbered
                 .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
                 .withColumn("priority",
                             (is_priority_col(F.col("url"),
@@ -281,9 +322,7 @@ class CrawlEngine:
                 .withColumn("round_added", F.lit(round_id + 1))
                 .select("url", "depth", "priority", "discovery_seq",
                         "round_added")
-                .localCheckpoint(eager=True)
             )
-            enqueued = new_frontier.count()
             next_discovery_seq += enqueued
 
             # --- merge frontier & seen (Iceberg MERGE INTO equivalent) ---------
@@ -296,12 +335,18 @@ class CrawlEngine:
                         .repartition(n_parts, "url")
                         .localCheckpoint(eager=True))
             frontier_count = frontier_count - batch_count + enqueued
+            # seen grows as a lazy union of per-round parts — each part is
+            # narrow over an already-checkpointed round output, so lineage
+            # depth stays 1 and no extra materialization job runs; the union
+            # is compacted (checkpointed + repartitioned) periodically to
+            # bound plan size.
             new_seen = new_frontier.select(
                 "url", F.md5(F.col("url")).alias("url_md5"))
-            seen = (seen.unionByName(new_seen)
-                    .repartition(n_parts, "url")
-                    .localCheckpoint(eager=True))
+            seen = seen.unionByName(new_seen)
             seen_count += enqueued
+            if (round_id + 1) % cfg.seen_compact_every == 0:
+                seen = (seen.repartition(n_parts, "url")
+                        .localCheckpoint(eager=True))
             if bloom_active:
                 self.bloom.add_urls(new_frontier.select("url"))
 

@@ -138,3 +138,35 @@ def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         kernel,
         schema="image_id string, frame_no int, bytes binary")
+
+
+def caption_validation(results: DataFrame, images: DataFrame) -> DataFrame:
+    """Crawl ⋈ image-table caption validation (north-star invariant).
+
+    Explodes the image references extracted from crawled pages
+    (``analysis.images``: data-image-id + alt text) and joins them against
+    the image+caption table: a reference is valid iff the page's alt text
+    equals the table's caption for that image_id. The join broadcasts
+    nothing by default — both sides can be huge; Catalyst picks the
+    strategy (AQE handles skewed image popularity).
+
+    Returns one row per (url, image_id) reference with ``caption_ok`` and
+    ``known_image`` flags.
+    """
+    refs = (results
+            .filter(F.col("analysis").isNotNull())
+            .select(F.col("url"),
+                    F.explode(F.coalesce(
+                        F.col("analysis.images"),
+                        F.array().cast("array<struct<image_id:string,"
+                                       "alt:string,src:string>>")))
+                    .alias("ref"))
+            .select("url", F.col("ref.image_id").alias("image_id"),
+                    F.col("ref.alt").alias("alt")))
+    return (refs.join(images.select("image_id", "caption"), "image_id",
+                      "left")
+            .select("url", "image_id", "alt",
+                    F.col("caption").isNotNull().alias("known_image"),
+                    (F.col("caption").isNotNull()
+                     & (F.col("alt") == F.col("caption")))
+                    .alias("caption_ok")))

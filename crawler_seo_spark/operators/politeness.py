@@ -23,7 +23,6 @@ Two pieces:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,22 +39,23 @@ def schedule_fetches(batch: DataFrame, requests_per_second: float,
 
     Slot order within a host follows the batch's dequeue order
     (``crawl_seq``), so the schedule is deterministic.
+
+    Pure window computation (JVM): ``row_number() OVER (PARTITION BY host
+    ORDER BY crawl_seq)``. An earlier ``applyInPandas`` formulation computed
+    the same thing ~20× slower at high core counts — the grouped-map Arrow
+    exchange pays per-task Python-worker costs that a window never does.
+    Keep Python for *acting* on the schedule (the live fetcher's sleeps,
+    sources/fetch.py), never for *computing* it.
     """
+    from pyspark.sql import Window
     interval_ms = 1000.0 / max(requests_per_second, 1e-9)
-    cols = batch.columns
     df = with_host(batch, url_col)
-
-    def pace(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("crawl_seq", kind="mergesort")
-        pdf["fetch_slot"] = range(len(pdf))
-        pdf["scheduled_offset_ms"] = pdf["fetch_slot"] * interval_ms
-        return pdf
-
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in df.schema.fields)
-    schema += ", fetch_slot long, scheduled_offset_ms double"
-    return df.groupBy("host").applyInPandas(pace, schema=schema) \
-             .select(*cols, "host", "fetch_slot", "scheduled_offset_ms")
+    w = Window.partitionBy("host").orderBy("crawl_seq")
+    return (df
+            .withColumn("fetch_slot",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .withColumn("scheduled_offset_ms",
+                        F.col("fetch_slot") * F.lit(interval_ms)))
 
 
 def salted_repartition(df: DataFrame, salt_buckets: int,

@@ -307,7 +307,12 @@ def run_oracle(store: dict[str, dict], config: CrawlConfig) -> OracleRun:
     frontier = _Frontier(base_domain, config.smart, config.priority_patterns)
     titles, descs = _DupTracker(), _DupTracker()
 
-    frontier.add(config.seed_url, 0, priority=config.smart)
+    if config.seed_urls:
+        # multi-seed variant: pattern-classified priority, list order
+        for raw in config.seed_urls:
+            frontier.add(raw, 0)
+    else:
+        frontier.add(config.seed_url, 0, priority=config.smart)
 
     seq = 0
     round_id = 0

@@ -75,9 +75,11 @@ def page_from_document(doc_id: int, text: str, n_docs: int) -> dict:
         status = 404
     elif doc_id % 31 == 13:
         status = 500
+    body = " ".join(words[:300])
     html = (f"<html><head><title>{title}</title>"
             f'<meta name="description" content="{desc}">'
-            f"</head><body>{headings}<p>{' '.join(words[:60])}</p>"
+            f"</head><body>{headings}<p>{body}</p><p>{body}</p>"
+            f"<p>{body}</p><p>{body}</p>"
             f"{anchors}</body></html>")
     return {
         "url": url,

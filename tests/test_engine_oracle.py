@@ -92,6 +92,38 @@ def test_bloom_path_exact(spark, small_site, pages_df):
     assert {r["url"] for r in engine.seen.collect()} == oracle.seen_urls
 
 
+def test_distributed_sequence_exact(spark, small_site, pages_df):
+    """seq_window_threshold=0 forces the distributed prefix-sum sequence
+    assignment on every round — crawl order must stay exact."""
+    oracle, engine = _run_both(spark, small_site, pages_df,
+                               max_urls=80, batch_size=20, smart=True,
+                               seq_window_threshold=0)
+    got = [(r["crawl_seq"], r["url"]) for r in
+           engine.crawl_order.orderBy("crawl_seq").collect()]
+    want = [(r["crawl_seq"], r["url"]) for r in oracle.crawl_order][:80]
+    assert got == want
+
+
+def test_multi_seed_exact(spark, small_site, pages_df):
+    """Multi-seed frontier (FIXTURES.md §4 variant): engine == oracle."""
+    seeds = [
+        "https://shop.example.test/",
+        "https://shop.example.test/product/item-11",
+        "https://shop.example.test/blog/post-6",
+        "https://shop.example.test/page/info-108",
+    ]
+    oracle, engine = _run_both(spark, small_site, pages_df,
+                               max_urls=60, batch_size=20, smart=True,
+                               seed_urls=seeds)
+    got = [(r["crawl_seq"], r["url"], r["priority"]) for r in
+           engine.crawl_order.orderBy("crawl_seq").collect()]
+    want = [(r["crawl_seq"], r["url"], r["priority"])
+            for r in oracle.crawl_order]
+    assert got == want
+    # priority seeds dequeue before normal seeds
+    assert got[0][1].endswith("/product/item-11") or got[0][2]
+
+
 def test_budget_cut_mid_batch(spark, small_site, pages_df):
     """max_urls not divisible by batch_size → final partial batch."""
     oracle, engine = _run_both(spark, small_site, pages_df,

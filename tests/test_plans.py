@@ -75,7 +75,7 @@ def test_fetch_join_broadcasts_batch_not_store(spark, pages_df):
     from crawler_seo_spark.sources.synthetic_site import SEED_URL
     eng = CrawlEngine(spark, pages_df, CrawlConfig(
         seed_url=SEED_URL, max_urls=10, batch_size=5))
-    frontier, _ = eng._seed_frontier()
+    frontier, _, _ = eng._seed_frontier()
     batch = frontier.limit(5).withColumn("crawl_seq", F.lit(0).cast("long")) \
         .withColumn("round", F.lit(0))
     from crawler_seo_spark.operators.politeness import schedule_fetches

@@ -206,3 +206,24 @@ def test_frame_sample_is_stubbed(spark):
     from py4j.protocol import Py4JJavaError
     with _pt.raises(Exception):
         out.collect()
+
+
+def test_caption_validation_against_crawl(spark, pages_df, small_site):
+    """Crawled pages' embedded image refs validate row-for-row against the
+    image+caption table (alt text == caption)."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.operators.multimodal import caption_validation
+    from crawler_seo_spark.sources.images import generate_images
+    from crawler_seo_spark.sources.synthetic_site import SEED_URL
+
+    images = spark.createDataFrame(
+        generate_images(60),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
+    state = CrawlEngine(spark, pages_df, CrawlConfig(
+        seed_url=SEED_URL, max_urls=40, batch_size=20)).run()
+    val = caption_validation(state.results, images).collect()
+    assert len(val) > 0
+    assert all(r["known_image"] for r in val)
+    assert all(r["caption_ok"] for r in val)

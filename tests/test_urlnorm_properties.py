@@ -1,0 +1,103 @@
+"""Property-based tests for the canonicalization kernel (hypothesis).
+
+Invariants that must hold for ANY input, because the whole seen-set
+construction depends on them:
+
+* determinism — same input, same output;
+* idempotence — canonicalize(canonicalize(x)) == canonicalize(x);
+* totality — never raises;
+* domain closure — output host (lowercased, www-stripped) equals the base
+  domain whenever output is not None;
+* dedup-variant collapse — fragments, tracking params and trailing slashes
+  never produce distinct canonical forms.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_seo_spark.functions.urlnorm import (
+    base_domain_of,
+    canonicalize_url,
+    filter_reason,
+    url_md5,
+)
+
+BD = "example.com"
+
+path_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + "-._~/%", max_size=30)
+query_pairs = st.lists(
+    st.tuples(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+              st.text(alphabet=string.ascii_letters + string.digits,
+                      max_size=8)),
+    max_size=4)
+any_text = st.text(max_size=60)
+
+
+def _mk_url(path: str, pairs: list[tuple[str, str]], fragment: str) -> str:
+    q = "&".join(f"{k}={v}" for k, v in pairs)
+    url = f"https://example.com/{path.lstrip('/')}"
+    if q:
+        url += f"?{q}"
+    if fragment:
+        url += f"#{fragment}"
+    return url
+
+
+@settings(max_examples=300, deadline=None)
+@given(path_chars, query_pairs, st.text(alphabet=string.ascii_letters,
+                                        max_size=8))
+def test_idempotent_and_deterministic(path, pairs, fragment):
+    url = _mk_url(path, pairs, fragment)
+    once = canonicalize_url(url, None, BD)
+    again = canonicalize_url(url, None, BD)
+    assert once == again
+    if once is not None:
+        assert canonicalize_url(once, None, BD) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_total_on_garbage(raw):
+    # never raises; md5/filter_reason also total on any canonical output
+    out = canonicalize_url(raw, "https://example.com/base", BD)
+    if out is not None:
+        assert out.startswith("http")
+        url_md5(out)
+        filter_reason(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(path_chars)
+def test_domain_closure(path):
+    out = canonicalize_url(_mk_url(path, [], ""), None, BD)
+    if out is not None:
+        assert base_domain_of(out) == BD
+
+
+@settings(max_examples=200, deadline=None)
+@given(path_chars, query_pairs)
+def test_variant_collapse(path, pairs):
+    """Fragment / tracking-param / trailing-slash variants must collapse."""
+    base = _mk_url(path, pairs, "")
+    c0 = canonicalize_url(base, None, BD)
+    if c0 is None:
+        return
+    variants = [
+        base + "#section",
+        _mk_url(path, pairs + [("utm_source", "x"), ("gclid", "1")], ""),
+    ]
+    if not base.endswith("/") and "?" not in base:
+        variants.append(base + "/")
+    for v in variants:
+        assert canonicalize_url(v, None, BD) == c0, v
+
+
+@settings(max_examples=200, deadline=None)
+@given(query_pairs)
+def test_param_order_invariance(pairs):
+    a = _mk_url("p", pairs, "")
+    b = _mk_url("p", list(reversed(pairs)), "")
+    assert canonicalize_url(a, None, BD) == canonicalize_url(b, None, BD)
