@@ -45,3 +45,55 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame | None,
         F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
         lambda p: path.startswith(p))
     return joined.filter(~blocked).drop("_host", "host", "disallow_prefixes")
+
+
+def parse_robots_txt(content: str, user_agent: str = "*") -> list[str]:
+    """Extract Disallow path-prefixes for a user agent from robots.txt
+    content (the standard prefix subset; public RFC 9309 semantics for the
+    group-selection rule: the most specific matching agent group wins,
+    falling back to ``*``).
+
+    Returns the disallow-prefix list for :func:`robots_table`.
+    """
+    groups: dict[str, list[str]] = {}
+    current_agents: list[str] = []
+    last_was_agent = False
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current_agents = []
+            current_agents.append(value.lower())
+            for a in current_agents:
+                groups.setdefault(a, [])
+            last_was_agent = True
+        elif key == "disallow":
+            last_was_agent = False
+            if value:
+                for a in current_agents:
+                    groups.setdefault(a, []).append(value)
+        else:
+            last_was_agent = False
+
+    ua = user_agent.lower()
+    # longest-match agent token, then '*'
+    candidates = [a for a in groups if a != "*" and a in ua]
+    if candidates:
+        return groups[max(candidates, key=len)]
+    return groups.get("*", [])
+
+
+def robots_table_from_texts(spark: SparkSession,
+                            texts: dict[str, str],
+                            user_agent: str = "*") -> DataFrame:
+    """host → robots.txt content → rules table (the cache-table builder a
+    live deployment feeds from fetched /robots.txt bodies)."""
+    return robots_table(spark, {
+        host: parse_robots_txt(body, user_agent)
+        for host, body in texts.items()
+    })

@@ -102,3 +102,40 @@ def test_fetch_batch_error_rows_survive(spark, batch):
     out = fetch_batch(scheduled, wrapped_factory).collect()
     assert len(out) == 4
     assert all(r["status_code"] == 0 for r in out)
+
+
+def test_parse_robots_txt():
+    from crawler_seo_spark.operators.robots import parse_robots_txt
+    txt = """
+# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /no-bots/
+
+User-agent: special
+Disallow:
+"""
+    assert parse_robots_txt(txt) == ["/private/", "/tmp/"]
+    assert parse_robots_txt(txt, "Googlebot/2.1") == ["/no-bots/"]
+    assert parse_robots_txt(txt, "bingbot") == ["/no-bots/"]
+    assert parse_robots_txt(txt, "special") == []     # empty disallow = allow all
+    assert parse_robots_txt("", "*") == []
+    assert parse_robots_txt("garbage no colons\n", "*") == []
+
+
+def test_robots_table_from_texts_blocks(spark):
+    from crawler_seo_spark.operators.robots import (
+        filter_allowed, robots_table_from_texts)
+    robots = robots_table_from_texts(spark, {
+        "shop.example.test": "User-agent: *\nDisallow: /blog/\n"})
+    cand = spark.createDataFrame(
+        [("https://shop.example.test/blog/post-1",),
+         ("https://shop.example.test/product/item-1",),
+         ("https://other.test/blog/x",)], "url string")
+    kept = {r["url"] for r in filter_allowed(cand, robots).collect()}
+    assert kept == {"https://shop.example.test/product/item-1",
+                    "https://other.test/blog/x"}
