@@ -238,7 +238,11 @@ class CrawlEngine:
                 fetched
                 .withColumn("analysis",
                             F.when(analyzed_cond, analysis).otherwise(F.lit(None)))
+                # content hash feeds the recrawl cache (reference artifact
+                # cache/<domain>_cache.json — SURVEY §1.4)
+                .withColumn("content_md5", F.md5(F.col("html")))
                 .select("crawl_seq", "url", "depth", "priority", "round",
+                        "content_md5",
                         "status_code",
                         F.split(F.col("content_type"), ";").getItem(0)
                         .alias("content_type"),

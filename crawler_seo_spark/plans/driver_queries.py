@@ -965,3 +965,41 @@ def m_validate_images(spark, sf_dir):
                               & F.col("caption_ok"), 1).otherwise(0))
                  .alias("n_valid"),
                  F.round(F.min("psnr"), 3).alias("min_psnr")))
+
+
+@q("r_recrawl_detect_changes", r"""
+WITH old_cache AS (
+  SELECT 'https://shop.example.test/p/' || doc_id AS url,
+         md5(text) AS content_md5, doc_id AS checked_seq
+  FROM documents WHERE doc_id % 5 <> 4),
+new_cache AS (
+  SELECT 'https://shop.example.test/p/' || doc_id AS url,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' changed' ELSE text END)
+           AS content_md5,
+         doc_id + 1000 AS checked_seq
+  FROM documents WHERE doc_id % 7 <> 6)
+SELECT url,
+  CASE WHEN o.content_md5 IS NULL THEN 'NEW'
+       WHEN n.content_md5 IS NULL THEN 'GONE'
+       WHEN o.content_md5 <> n.content_md5 THEN 'CHANGED'
+       ELSE 'UNCHANGED' END AS change_status
+FROM (SELECT url, content_md5 FROM old_cache) o
+FULL OUTER JOIN (SELECT url, content_md5 FROM new_cache) n USING (url)
+""")
+def r_recrawl_detect_changes(spark, sf_dir):
+    """Recrawl change detection (reference cache/<domain>_cache.json
+    semantics, SURVEY §1.4): two derived cache snapshots → NEW / CHANGED /
+    UNCHANGED / GONE per URL."""
+    from ..operators.recrawl import detect_changes
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://shop.example.test/p/"), F.col("doc_id"))
+    old = (d.filter(F.col("doc_id") % 5 != 4)
+           .select(url.alias("url"), F.md5("text").alias("content_md5"),
+                   F.col("doc_id").alias("checked_seq")))
+    new = (d.filter(F.col("doc_id") % 7 != 6)
+           .select(url.alias("url"),
+                   F.md5(F.when(F.col("doc_id") % 3 == 0,
+                                F.concat(F.col("text"), F.lit(" changed")))
+                         .otherwise(F.col("text"))).alias("content_md5"),
+                   (F.col("doc_id") + 1000).alias("checked_seq")))
+    return detect_changes(old, new).select("url", "change_status")

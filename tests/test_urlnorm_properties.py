@@ -101,3 +101,32 @@ def test_param_order_invariance(pairs):
     a = _mk_url("p", pairs, "")
     b = _mk_url("p", list(reversed(pairs)), "")
     assert canonicalize_url(a, None, BD) == canonicalize_url(b, None, BD)
+
+
+# ---------------------------------------------------------------------------
+# HTML parser robustness (the parse stage must never raise on crawl input)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_parser_total_on_garbage(raw):
+    from crawler_seo_spark.functions.analyzers import (
+        analyze_headings, analyze_metatags, analyze_mixed_content)
+    from crawler_seo_spark.functions.htmldoc import parse_html
+    doc = parse_html(raw)
+    analyze_headings(doc)
+    analyze_metatags(doc)
+    analyze_mixed_content(doc, "https://x.test/")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["<h1>", "</h1>", "<h2 style='color:#fff'>", "</h2>", "text",
+     "<a href='/x'>", "</a>", "<img src='http://a/b'>", "<title>", "</title>",
+     "<!-- c -->", "<meta name='description' content='d'>", "<style>",
+     "</style>", "url(http://e/f)", "&amp;", "<p", ">"]), max_size=30))
+def test_parser_total_on_tag_soup(parts):
+    from crawler_seo_spark.functions.parse import analyze_page
+    out = analyze_page("".join(parts), "https://x.test/p", "x.test", True)
+    assert isinstance(out["links"], list)
+    assert out["h1_count"] >= 0
