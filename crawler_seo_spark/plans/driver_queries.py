@@ -1003,3 +1003,65 @@ def r_recrawl_detect_changes(spark, sf_dir):
                          .otherwise(F.col("text"))).alias("content_md5"),
                    (F.col("doc_id") + 1000).alias("checked_seq")))
     return detect_changes(old, new).select("url", "change_status")
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Chained-CTE PageRank oracle (fixed iterations; same formula as
+    operators/graph.pagerank; round(6) absorbs float summation order)."""
+    base = """
+WITH e AS (
+  SELECT doc_id AS src, 2 * doc_id + 1 AS dst FROM documents
+    WHERE 2 * doc_id + 1 < (SELECT count(*) FROM documents)
+  UNION
+  SELECT doc_id AS src, 2 * doc_id + 2 AS dst FROM documents
+    WHERE 2 * doc_id + 2 < (SELECT count(*) FROM documents)
+  UNION
+  SELECT doc_id AS src, (doc_id * 37 + 11) % (SELECT count(*) FROM documents)
+    AS dst FROM documents),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        base += f""",
+dang{i} AS (SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
+            WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst AS node, sum(p.rank / deg.deg) AS contrib
+         FROM {prev} p JOIN deg ON p.node = deg.src
+                       JOIN e ON e.src = p.node
+         GROUP BY e.dst),
+{cur} AS (SELECT nodes.node,
+            (1 - {d}) / (SELECT n FROM nn)
+            + {d} * (coalesce(c{i}.contrib, 0.0)
+                     + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+    base += f"""
+SELECT node, floor(rank * 100000)::BIGINT AS rank_e5 FROM r{iters}"""
+    return base
+
+
+@q("g_pagerank", _pagerank_sql(3))
+def g_pagerank(spark, sf_dir):
+    """Iterative PageRank over the documents link graph (3 damped
+    iterations; the engine's operators/graph.pagerank vs a chained-CTE
+    DuckDB oracle)."""
+    from ..operators.graph import pagerank
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    e1 = d.select(F.col("doc_id").alias("src"),
+                  (F.col("doc_id") * 2 + 1).alias("dst")) \
+        .filter(F.col("dst") < n)
+    e2 = d.select(F.col("doc_id").alias("src"),
+                  (F.col("doc_id") * 2 + 2).alias("dst")) \
+        .filter(F.col("dst") < n)
+    e3 = d.select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 37 + 11) % n).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    out = pagerank(edges, n_iters=3)
+    # floor-quantized: the value classes sit ≥0.013 bucket-units from any
+    # boundary while cross-engine float drift is ~1e-4 — exact-hash-safe
+    # where decimal rounding hits half-boundaries (tree-symmetric ranks)
+    return out.select(
+        "node",
+        F.floor(F.col("rank") * 100000).cast("long").alias("rank_e5"))
