@@ -412,10 +412,12 @@ WITH t AS (SELECT doc_id, title, description,
                  OVER (PARTITION BY title ORDER BY doc_id) > 1
                  THEN 1 ELSE 0 END AS is_dup
            FROM ({_TITLES_SQL}))
-SELECT count(*)                              AS total_urls,
-       sum(is_dup)                           AS titles_duplicados,
-       sum(CASE WHEN description = '' THEN 1 ELSE 0 END) AS descs_ausentes,
-       sum(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END) AS erros_404
+SELECT count(*)                                       AS total_urls,
+       sum(is_dup)::BIGINT                            AS titles_duplicados,
+       sum(CASE WHEN description = '' THEN 1 ELSE 0 END)::BIGINT
+                                                      AS descs_ausentes,
+       sum(CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END)::BIGINT
+                                                      AS erros_404
 FROM t
 """)
 def a7_executive_summary(spark, sf_dir):
@@ -914,7 +916,8 @@ def e_sessionize(spark, sf_dir):
 
 
 @q("e_json_props", """
-SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """)
