@@ -73,19 +73,29 @@ def crawl_stats(state: CrawlState) -> dict:
     }
 
 
-def quick_analysis(spark: SparkSession, pages: DataFrame, seed_url: str,
+def quick_analysis(spark: SparkSession, pages: DataFrame | None,
+                   seed_url: str,
                    max_urls: int = 100,
                    analyzers: list[Callable[[DataFrame], DataFrame]]
                    | None = None,
                    quick: bool = True,
-                   report_dir: str | None = None
+                   report_dir: str | None = None,
+                   max_depth: int = 10,
+                   batch_size: int | None = None,
+                   smart: bool = True
                    ) -> tuple[DataFrame, CrawlState, dict]:
     """Crawl + analyze + (optionally) write the report tabs.
 
-    Returns (wide analysis DataFrame, raw CrawlState, stats dict) — the
-    Spark shape of the reference's ``(filepath, df, stats)``.
+    ``pages=None`` puts the engine in live-HTTP mode (rate-limited
+    ``mapInPandas`` fetcher). Returns (wide analysis DataFrame, raw
+    CrawlState, stats dict) — the Spark shape of the reference's
+    ``(filepath, df, stats)``.
     """
-    cfg = CrawlConfig(seed_url=seed_url, max_urls=max_urls)
+    kwargs: dict = dict(seed_url=seed_url, max_urls=max_urls,
+                        max_depth=max_depth, smart=smart)
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    cfg = CrawlConfig(**kwargs)
     if quick:
         cfg = apply_quick_mode(cfg)
     validate_config(cfg)

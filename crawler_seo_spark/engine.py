@@ -66,16 +66,24 @@ class CrawlState:
 class CrawlEngine:
     """One crawl run over a page-store DataFrame."""
 
-    def __init__(self, spark: SparkSession, pages: DataFrame,
+    def __init__(self, spark: SparkSession, pages: DataFrame | None,
                  config: CrawlConfig,
                  robots_rules: dict[str, list[str]] | None = None,
-                 analyzers: list | None = None) -> None:
+                 analyzers: list | None = None,
+                 fetch_fn_factory=None) -> None:
         """``analyzers``: optional plug-in column analyzers — each a
         ``DataFrame -> DataFrame`` adding columns to the per-round result
         (the Spark form of the reference's duck-typed ``.analyze(soup, url)``
-        protocol, core/crawler.py:169-174)."""
+        protocol, core/crawler.py:169-174).
+
+        ``pages=None`` = LIVE mode: each round's batch is fetched over HTTP
+        by the politeness-scheduled ``mapInPandas`` fetcher
+        (sources/fetch.py) instead of joined against a page store.
+        ``fetch_fn_factory`` overrides the per-task fetcher (tests inject a
+        deterministic one)."""
         self.spark = spark
         self.pages = pages
+        self.fetch_fn_factory = fetch_fn_factory
         self.config = config
         self.analyzers = analyzers or []
         self.base_domain = base_domain_of(config.seed_url)
@@ -122,29 +130,44 @@ class CrawlEngine:
         return frontier, seen, len(rows)
 
     def _fetch(self, batch: DataFrame) -> DataFrame:
-        """Synthetic fetch: broadcast the (small) batch into a hash join
-        against the page store — the store is streamed, never shuffled.
+        """Synthetic fetch, found rows only: broadcast the (small) batch into
+        a hash join against the page store — the store is streamed ONCE per
+        round, never shuffled. Store-miss rows (network 404s) are derived
+        AFTER the round result is checkpointed, by anti-joining the batch
+        against the found result's urls (two tiny checkpointed inputs — zero
+        extra store scans; round 1 streamed the store twice per round).
         On a real cluster this stage is an HTTP ``mapInPandas`` honoring
         ``scheduled_offset_ms``; the join is the sandbox's network oracle.
+        In LIVE mode (``pages=None``) the batch goes through the real
+        fetcher and the engine columns are restored with a broadcast join
+        (every url yields exactly one row — errors come back status 0 —
+        so the 404-fill below is a no-op there).
         """
-        found = self.pages.join(F.broadcast(batch), "url", "inner")
-        missing = batch.join(F.broadcast(
-            self.pages.join(F.broadcast(batch.select("url")), "url",
-                            "left_semi").select("url")), "url", "left_anti")
-        missing_filled = (
+        if self.pages is None:
+            from .sources.fetch import fetch_batch, make_http_fetch
+            fetched = fetch_batch(batch,
+                                  self.fetch_fn_factory or make_http_fetch)
+            return fetched.join(F.broadcast(batch), "url", "inner")
+        return self.pages.join(F.broadcast(batch), "url", "inner")
+
+    @staticmethod
+    def _fill_missing(batch: DataFrame, result_found: DataFrame) -> DataFrame:
+        """404-fill for batch urls absent from the store, shaped exactly like
+        the checkpointed found-result (analysis struct included, as null)."""
+        analysis_type = result_found.schema["analysis"].dataType
+        missing = batch.join(result_found.select("url"), "url", "left_anti")
+        return (
             missing
             .withColumn("status_code", F.lit(404))
             .withColumn("content_type", F.lit(""))
             .withColumn("final_url", F.col("url"))
             .withColumn("response_time_ms", F.lit(0.0))
-            .withColumn("content_length", F.lit(0))
-            .withColumn("html", F.lit(""))
+            .withColumn("content_length", F.lit(0).cast("long"))
             .withColumn("headers",
                         F.create_map().cast("map<string,string>"))
-            .withColumn("image_ids", F.array().cast("array<string>"))
-            .withColumn("page_index", F.lit(-1))
-        )
-        return found.unionByName(missing_filled.select(*found.columns))
+            .withColumn("content_md5", F.md5(F.lit("")))
+            .withColumn("analysis", F.lit(None).cast(analysis_type))
+            .select(*result_found.columns))
 
     @staticmethod
     def _filtered_from(result: DataFrame) -> DataFrame:
@@ -201,22 +224,49 @@ class CrawlEngine:
             budget = min(cfg.batch_size, cfg.max_urls - results_count)
 
             # --- O1/O3: deterministic dequeue --------------------------------
-            batch = (frontier
-                     .orderBy(F.desc("priority"), F.asc("discovery_seq"))
-                     .limit(budget))
-            w = Window.orderBy(F.desc("priority"), F.asc("discovery_seq"))
-            batch = (batch
-                     .withColumn("crawl_seq",
-                                 (F.row_number().over(w) - 1
-                                  + F.lit(results_count)).cast("long"))
-                     .withColumn("round", F.lit(round_id))
-                     .localCheckpoint(eager=True))
-            batch_count = batch.count()
-            if batch_count == 0:
-                break
+            # Small budgets: TakeOrderedAndProject + one-task window (the
+            # merge task holds ≤ budget rows). Large budgets: the same total
+            # order via the distributed prefix-sum — rank the frontier in
+            # (priority DESC, discovery_seq ASC) order with no single
+            # reducer, take rank < budget. Identical batch either way.
+            dequeue_order = [F.desc("priority"), F.asc("discovery_seq")]
+            if budget >= cfg.seq_window_threshold:
+                from .operators.sequence import global_sequence
+                batch = (global_sequence(frontier, dequeue_order, "_rank")
+                         .filter(F.col("_rank") < budget)
+                         .withColumn("crawl_seq",
+                                     (F.col("_rank") + F.lit(results_count))
+                                     .cast("long"))
+                         .drop("_rank")
+                         .withColumn("round", F.lit(round_id)))
+                # lineage already pinned inside global_sequence; the filter
+                # and projections above are narrow + deterministic
+            else:
+                batch = (frontier.orderBy(*dequeue_order).limit(budget))
+                w = Window.orderBy(*dequeue_order)
+                batch = (batch
+                         .withColumn("crawl_seq",
+                                     (F.row_number().over(w) - 1
+                                      + F.lit(results_count)).cast("long"))
+                         .withColumn("round", F.lit(round_id))
+                         .localCheckpoint(eager=True))
+            # no count() job: the dequeue takes exactly min(budget, frontier)
+            # rows — frontier_count is exact by arithmetic (unique urls).
+            batch_count = min(budget, frontier_count)
+            t_dequeue = time.monotonic()
 
             # --- S2: per-host politeness schedule ------------------------------
-            batch = schedule_fetches(batch, cfg.requests_per_second)
+            # At "unlimited" rate budgets (≥1e8 rps — benchmark / offline
+            # replay mode) every offset is ~0: skip the per-host rank window
+            # and project constant slots. Identical crawl semantics — the
+            # schedule only TIMES fetches, never orders results.
+            if cfg.requests_per_second >= 1e8:
+                from .operators.politeness import with_host
+                batch = (with_host(batch)
+                         .withColumn("fetch_slot", F.lit(0).cast("long"))
+                         .withColumn("scheduled_offset_ms", F.lit(0.0)))
+            else:
+                batch = schedule_fetches(batch, cfg.requests_per_second)
 
             # --- J4: salted host repartition — one hot host's fetches spread
             # over salt buckets (each row keeps its politeness slot, so the
@@ -227,6 +277,10 @@ class CrawlEngine:
                     batch, cfg.host_salt_buckets).drop("host_salt")
 
             # --- S1: fetch + F6/F7 gates + parse/analyze -----------------------
+            # ONE streamed pass over the page store: found rows are parsed and
+            # checkpointed; network-404 rows are synthesized afterwards from
+            # the two checkpointed sides and appended lazily (narrow ops over
+            # pinned inputs — deterministic, no extra materialization job).
             fetched = self._fetch(batch)
             analyzed_cond = ((F.col("status_code") == 200)
                              & F.lower(F.col("content_type")).contains("text/html"))
@@ -234,7 +288,7 @@ class CrawlEngine:
             analysis = analysis_column(
                 F.when(analyzed_cond, F.col("html")).otherwise(F.lit("")),
                 F.col("url"), want_links, self.base_domain)
-            result = (
+            result_found = (
                 fetched
                 .withColumn("analysis",
                             F.when(analyzed_cond, analysis).otherwise(F.lit(None)))
@@ -249,20 +303,24 @@ class CrawlEngine:
                         "final_url", "response_time_ms", "content_length",
                         "headers", "host", "fetch_slot", "scheduled_offset_ms",
                         "analysis")
-            )
+            ).localCheckpoint(eager=True)
+            result = result_found.unionByName(
+                self._fill_missing(batch, result_found))
             # P2 plug-in analyzers: column pipelines over the round's result
             for analyzer_fn in self.analyzers:
                 result = analyzer_fn(result)
-            result = result.localCheckpoint(eager=True)
             results_parts.append(result)
             results_count += batch_count
+            t_fetch = time.monotonic()
 
             # --- filtered-log append (per occurrence, reference semantics) ----
             filtered_parts.append(self._filtered_from(result))
 
             # --- candidate links: posexplode keeps page order ------------------
+            # (missing rows have null analysis — candidates come straight off
+            # the checkpointed found-result)
             candidates = (
-                result
+                result_found
                 .filter(F.col("analysis").isNotNull())
                 .select(F.col("crawl_seq").alias("parent_seq"),
                         F.col("depth").alias("parent_depth"),
@@ -291,6 +349,7 @@ class CrawlEngine:
                 new_links = candidates.join(seen.select("url"), "url",
                                             "left_anti")
             new_links = filter_allowed(new_links, self.robots)
+            t_prune = time.monotonic()
 
             # --- deterministic discovery_seq ------------------------------------
             # Sequence = rank in (parent_seq, link_pos) order. Small rounds
@@ -299,17 +358,23 @@ class CrawlEngine:
             # per-partition offsets, operators/sequence.py) — a global
             # window would funnel millions of candidates through a single
             # reducer at the 10^10 design point.
+            # the enqueue count rides the checkpoint materialization as an
+            # observed metric — no separate count() job per round.
+            from pyspark.sql import Observation
+            obs = Observation()  # auto-named: unique across rounds/runs
             new_links = (new_links
                          .select("url", "parent_seq", "link_pos",
                                  "parent_depth")
+                         .observe(obs, F.count(F.lit(1)).alias("n"))
                          .localCheckpoint(eager=True))
-            enqueued = new_links.count()
+            enqueued = int(obs.get["n"])
             order_cols = [F.asc("parent_seq"), F.asc("link_pos")]
             if enqueued >= cfg.seq_window_threshold:
+                # JVM-only distributed prefix-sum; pins its own lineage
                 from .operators.sequence import global_sequence
                 numbered = global_sequence(
                     new_links, order_cols, "discovery_seq",
-                    start=next_discovery_seq).localCheckpoint(eager=True)
+                    start=next_discovery_seq)
             else:
                 seq_w = Window.orderBy(*order_cols)
                 numbered = new_links.withColumn(
@@ -328,6 +393,7 @@ class CrawlEngine:
                         "round_added")
             )
             next_discovery_seq += enqueued
+            t_seq = time.monotonic()
 
             # --- merge frontier & seen (Iceberg MERGE INTO equivalent) ---------
             # repartition pins the partition count (unions otherwise grow it
@@ -353,6 +419,10 @@ class CrawlEngine:
                         .localCheckpoint(eager=True))
             if bloom_active:
                 self.bloom.add_urls(new_frontier.select("url"))
+            t_merge = time.monotonic()
+
+            def ms(a, b):
+                return round((b - a) * 1000, 1)
 
             rounds.append({
                 "round": round_id, "dequeued": batch_count,
@@ -361,7 +431,15 @@ class CrawlEngine:
                 "next_discovery_seq": next_discovery_seq,
                 "bloom_active": bloom_active,
                 "bloom_inserted": self.bloom.n_inserted,
+                "bloom_rebroadcast_bytes":
+                    self.bloom.last_rebroadcast_bytes,
                 "partitions": n_parts,
+                # per-phase wall breakdown — the round's lineage counters
+                "t_dequeue_ms": ms(t0, t_dequeue),
+                "t_fetch_parse_ms": ms(t_dequeue, t_fetch),
+                "t_prune_ms": ms(t_fetch, t_prune),
+                "t_seq_ms": ms(t_prune, t_seq),
+                "t_merge_ms": ms(t_seq, t_merge),
                 "wall_ms": round((time.monotonic() - t0) * 1000, 1),
             })
 

@@ -358,14 +358,17 @@ def extract_filtered(doc: HtmlDoc, base_url: str,
     """(url, reason) pairs for links dropped by the relevance filter at
     extraction — feeds the ``filtered`` log (reference logs one entry per
     occurrence, core/url_manager.py:287-299)."""
-    from .urlnorm import filter_reason
+    from .urlnorm import canonicalize_url_ex, filter_reason
     out: list[tuple[str, str]] = []
     for a in doc.anchors:
         href = a.attr("href").strip()
         if not href:
             continue
-        norm = canonicalize_url(href, base_url, base_domain)
-        if norm:
+        norm, invalid = canonicalize_url_ex(href, base_url, base_domain)
+        if invalid:
+            # reference logs normalization failures (url_manager.py:64-66)
+            out.append((href, "INVALID_URL"))
+        elif norm:
             reason = filter_reason(norm)
             if reason:
                 out.append((norm, reason))

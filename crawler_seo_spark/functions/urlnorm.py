@@ -88,30 +88,41 @@ def canonicalize_url(url: str | None, base_url: str | None = None,
     The netloc keeps its original spelling in the output (the reference only
     lowercases a scratch copy for the domain check).
     """
+    return canonicalize_url_ex(url, base_url, base_domain)[0]
+
+
+def canonicalize_url_ex(url: str | None, base_url: str | None = None,
+                        base_domain: str | None = None
+                        ) -> tuple[str | None, bool]:
+    """(canonical url or None, invalid) — ``invalid=True`` only on a
+    normalization EXCEPTION (malformed URL), which the reference logs as an
+    ``INVALID_URL`` filtered entry (core/url_manager.py:64-66); out-of-scope
+    urls (scheme/domain) return (None, False) and are dropped silently,
+    matching the reference's separate relevance path."""
     if not url:
-        return None
+        return None, False
     try:
         u = url.strip()
         if base_url:
             u = urljoin(base_url, u)
         parts = urlparse(u)
         if parts.scheme not in ("http", "https"):
-            return None
+            return None, False
         if base_domain is not None:
             host = parts.netloc.lower()
             if host.startswith("www."):
                 host = host[4:]
             if host != base_domain:
-                return None
+                return None, False
         path = _MULTI_SLASH.sub("/", parts.path)
         if len(path) > 1 and path.endswith("/"):
             path = path.rstrip("/")
         if not path:
             path = "/"
         return urlunparse(parts._replace(
-            fragment="", path=path, query=_canonical_query(parts.query)))
+            fragment="", path=path, query=_canonical_query(parts.query))), False
     except Exception:
-        return None
+        return None, True
 
 
 def filter_reason(canonical_url: str | None) -> str | None:

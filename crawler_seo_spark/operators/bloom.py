@@ -20,8 +20,22 @@ Design (north-star construction, from public Bloom-filter practice):
   persistent shard set (bitwise OR of numpy arrays — associative, so shard
   updates parallelize; kept driver-side here, executor/object-store state on
   a real cluster);
-* the probe side broadcasts the shard bitmaps once per round and tests
-  membership in a vectorized pandas UDF over the precomputed hash columns.
+* the probe side holds ONE broadcast PER SHARD and re-broadcasts only the
+  shards whose bitmap actually changed since the last probe (a no-op round
+  ships zero bytes); unchanged shards stay cached on the executors. The
+  membership test is a vectorized pandas UDF that groups each Arrow batch
+  by shard and touches only the shard bitmaps present in the batch — per
+  task, memory is O(shards-in-batch), not O(total bloom state).
+  ``stats()`` reports the per-round changed-shard count and rebroadcast
+  bytes so the bounded-traffic claim is testable.
+
+Shard routing uses the SAME function on both sides — Spark's signed
+``pmod(h1, n_shards)`` at build, numpy's Python-semantics ``%`` on the
+signed int64 at probe (identical results for every h1, any n_shards).
+Round 1 probed with a uint64 reinterpretation, which disagrees with pmod
+for negative h1 whenever n_shards is not a power of two — a Bloom FALSE
+NEGATIVE (seen URL routed to the wrong shard → "definitely new" → crawled
+twice). Regression-tested in tests/test_bloom.py with n_shards=30.
 
 Sizing: with m bits per shard, n insertions per shard, k hashes, FPR ≈
 (1 − e^{−kn/m})^k; defaults (1 MiB·8 bits × 32 shards, k=5) hold FPR < 1%
@@ -50,6 +64,13 @@ class ShardedBloom:
         self.k = num_hashes
         self.shards = np.zeros((n_shards, bits_per_shard // 64), dtype=np.uint64)
         self.n_inserted = 0
+        # per-shard broadcast lifecycle: handle + dirty set + traffic meters
+        self._bc: list = [None] * n_shards
+        self._dirty: set[int] = set(range(n_shards))  # nothing shipped yet
+        self.last_changed_shards = 0
+        self.last_rebroadcast_bytes = 0
+        self.total_rebroadcast_bytes = 0
+        self.probe_rounds = 0
 
     # -- hash columns (JVM-side) -------------------------------------------
     @staticmethod
@@ -67,7 +88,14 @@ class ShardedBloom:
         return (u1[:, None] + ks[None, :] * u2[:, None]) % np.uint64(self.bits)
 
     def shard_of(self, h1: np.ndarray) -> np.ndarray:
-        return (h1.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        """Shard index — MUST equal Spark's ``pmod(h1, n_shards)``.
+
+        numpy's ``%`` on signed ints uses Python semantics (result sign
+        follows the divisor), which is exactly ``pmod``. Do NOT reinterpret
+        to uint64 first: ``(2**64 + h1) % n`` differs from ``pmod(h1, n)``
+        for negative h1 unless n is a power of two.
+        """
+        return np.mod(h1.astype(np.int64), self.n_shards)
 
     # -- build / merge -------------------------------------------------------
     def add_urls(self, df: DataFrame, url_col: str = "url") -> None:
@@ -104,31 +132,68 @@ class ShardedBloom:
             .collect()
         )
         for row in built:
-            self.shards[row["shard"]] |= np.frombuffer(
-                row["bitmap"], dtype=np.uint64)
+            incoming = np.frombuffer(row["bitmap"], dtype=np.uint64)
+            s = row["shard"]
+            # dirty only if the OR actually flips a bit — a round of
+            # already-seen URLs re-broadcasts nothing.
+            if np.any(incoming & ~self.shards[s]):
+                self.shards[s] = self.shards[s] | incoming
+                self._dirty.add(s)
             self.n_inserted += row["n"]
 
     # -- probe ----------------------------------------------------------------
+    def _refresh_broadcasts(self, spark: SparkSession) -> None:
+        """Re-broadcast ONLY the shards whose bitmap changed since the last
+        probe; unchanged shards keep their executor-cached broadcast."""
+        sent = 0
+        for s in sorted(self._dirty):
+            if self._bc[s] is not None:
+                self._bc[s].unpersist()
+            self._bc[s] = spark.sparkContext.broadcast(self.shards[s])
+            sent += self.shards[s].nbytes
+        self.last_changed_shards = len(self._dirty)
+        self.last_rebroadcast_bytes = sent
+        self.total_rebroadcast_bytes += sent
+        self.probe_rounds += 1
+        self._dirty.clear()
+
+    def stats(self) -> dict:
+        return {
+            "n_inserted": self.n_inserted,
+            "probe_rounds": self.probe_rounds,
+            "last_changed_shards": self.last_changed_shards,
+            "last_rebroadcast_bytes": self.last_rebroadcast_bytes,
+            "total_rebroadcast_bytes": self.total_rebroadcast_bytes,
+        }
+
     def maybe_seen_col(self, spark: SparkSession):
         """Vectorized membership test: (h1, h2) → bool (true = maybe seen).
 
-        Broadcasts the current bitmaps once; tasks probe locally.
+        Ships only changed shards (see :meth:`_refresh_broadcasts`), then
+        probes each Arrow batch grouped by shard — a task touches only the
+        shard bitmaps its rows route to, so per-task memory stays
+        O(shards-in-batch) even when total bloom state is tens of GiB.
         """
-        bc = spark.sparkContext.broadcast(self.shards)
+        self._refresh_broadcasts(spark)
+        bcs = list(self._bc)
         bits, k, n_shards = self.bits, self.k, self.n_shards
 
         @F.pandas_udf("boolean")
         def _maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-            shards = bc.value
-            u1 = h1.to_numpy().astype(np.uint64)
+            s1 = h1.to_numpy().astype(np.int64)
+            u1 = s1.astype(np.uint64)
             u2 = h2.to_numpy().astype(np.uint64)
-            shard_idx = (u1 % np.uint64(n_shards)).astype(np.int64)
+            shard_idx = np.mod(s1, n_shards)  # == Spark pmod, build-side match
             ks = np.arange(k, dtype=np.uint64)
             pos = (u1[:, None] + ks[None, :] * u2[:, None]) % np.uint64(bits)
             word = (pos // 64).astype(np.int64)
             bit = np.uint64(1) << (pos % np.uint64(64))
-            hits = (shards[shard_idx[:, None], word] & bit) != 0
-            return pd.Series(hits.all(axis=1))
+            out = np.empty(len(s1), dtype=bool)
+            for s in np.unique(shard_idx):
+                m = shard_idx == s
+                bitmap = bcs[int(s)].value
+                out[m] = ((bitmap[word[m]] & bit[m]) != 0).all(axis=1)
+            return pd.Series(out)
 
         return _maybe
 

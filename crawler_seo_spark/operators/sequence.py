@@ -6,51 +6,70 @@ the hardest thing to produce scalably on a cluster. The naive
 reducer sees every row, which dies at 10^10 scale.
 
 :func:`global_sequence` produces the identical numbering with no single
-reducer: range-repartition on the sort key, sort within partitions, count
-rows per partition, broadcast the per-partition offsets (tiny — one long per
-partition), then number rows as ``offset[p] + local_index``. Two passes over
-the data, both fully parallel. This is the standard distributed prefix-sum
-construction (same shape Spark uses internally for ``zipWithIndex``).
+reducer and no Python round-trip: range-repartition on the sort key, sort
+within partitions, pin the partitioning (localCheckpoint — range sampling
+must not re-run between passes), count rows per partition (a tiny
+aggregate), then number each row as ``offset[partition] + local_rank``
+where the local rank is a per-partition window. Two fully-parallel passes;
+the only driver data is one (partition, count) pair per partition. This is
+the standard distributed prefix-sum construction (the shape Spark uses
+internally for ``zipWithIndex``) — but expressed in DataFrame ops so rows
+stay in Tungsten format end to end (the round-1 version went through
+``df.rdd.zipWithIndex``, which pickles every row to Python and back).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def global_sequence(df: DataFrame, order_by: list[Column], out_col: str,
-                    start: int = 0, num_partitions: int | None = None) -> DataFrame:
+                    start: int = 0,
+                    num_partitions: int | None = None) -> DataFrame:
     """Add ``out_col`` = ``start + rank`` of each row in the total order
     defined by ``order_by`` (which must be a unique key of ``df``).
 
-    Implementation: ``repartitionByRange`` + ``sortWithinPartitions`` keeps
-    the global order across the partition sequence; ``zipWithIndex`` then
-    numbers rows with per-partition offsets computed from a lightweight
-    count pass — no global single-partition exchange.
+    Returns a DataFrame whose lineage is pinned (internally checkpointed) —
+    downstream re-evaluation recomputes only the cheap per-partition window.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     arranged = (
         df.repartitionByRange(n, *order_by)
           .sortWithinPartitions(*order_by)
+          .localCheckpoint(eager=True)   # pin range boundaries + partitions
+          .withColumn("_pid", F.spark_partition_id())
     )
-    schema = arranged.schema
-    indexed = arranged.rdd.zipWithIndex().map(
-        lambda pair: (*pair[0], pair[1]))
-    out_schema = schema.add(out_col, "long", False)
-    spark = df.sparkSession
-    result = spark.createDataFrame(indexed, out_schema)
-    if start:
-        result = result.withColumn(out_col, F.col(out_col) + F.lit(start))
-    return result
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in arranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+        .collect())
+    if not counts:  # empty input: nothing to number
+        return (arranged.drop("_pid")
+                .withColumn(out_col, F.lit(start).cast("long")))
+    offsets, acc = {}, start
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_expr = F.coalesce(
+        F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in offsets]),
+                F.array(*[F.lit(o) for o in offsets.values()])),
+            F.col("_pid")),
+        F.lit(0))
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (arranged
+            .withColumn(out_col,
+                        (F.row_number().over(w) - 1 + off_expr).cast("long"))
+            .drop("_pid"))
 
 
 def global_sequence_small(df: DataFrame, order_by: list[Column], out_col: str,
                           start: int = 0) -> DataFrame:
     """Window-based variant for *small* inputs (a dequeued batch): a single
-    round's batch fits one task comfortably; the window avoids an RDD
-    round-trip. Use :func:`global_sequence` for unbounded inputs."""
-    from pyspark.sql import Window
+    round's batch fits one task comfortably; the window avoids the extra
+    repartition pass. Use :func:`global_sequence` for unbounded inputs."""
     w = Window.orderBy(*order_by)
     num = F.row_number().over(w) - 1 + F.lit(start)
     return df.withColumn(out_col, num.cast("long"))

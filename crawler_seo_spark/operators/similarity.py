@@ -103,19 +103,26 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_assign(corpus: DataFrame, n_lists: int = 16,
                vec_col: str = "embedding", id_col: str = "vec_id",
                seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
-    """IVF list assignment with deterministic sampled centroids (every
-    ``n/n_lists``-th row by id — one pass, no iteration; swap for k-means||
-    in production). Returns (corpus + ``ivf_list`` column, centroids)."""
-    ids = [r[0] for r in
-           corpus.select(id_col).orderBy(id_col).collect()][::max(
-               1, corpus.count() // n_lists)][:n_lists]
+    """IVF list assignment with deterministic hash-sampled centroids (swap
+    for k-means|| in production). Returns (corpus + ``ivf_list``, centroids).
+
+    Centroid selection is fully distributed: rank rows by a seeded
+    ``xxhash64`` of the id (a deterministic uniform shuffle) and take the
+    first ``n_lists`` — Spark plans ``orderBy(...).limit(n)`` as
+    TakeOrderedAndProject (per-partition top-n, driver merges only n rows),
+    so the ONLY driver materialization is the ≤``n_lists`` centroid rows.
+    No full-corpus ``collect()``/``count()`` anywhere (the round-1 version
+    collected every corpus id — a driver OOM at 10^10 rows)."""
     cents = [r[0] for r in
-             corpus.filter(F.col(id_col).isin(ids)).orderBy(id_col)
+             corpus.select(F.col(vec_col),
+                           F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+             .orderBy("_h", vec_col)
+             .limit(n_lists)
              .select(vec_col).collect()]
     cents = [[float(x) for x in c] for c in cents]
     dists = F.array(*[
         _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-        / (_norm(F.col(vec_col))
+        / (F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))  # zero-vector safe
            * float(np.sqrt(sum(x * x for x in c)) or 1.0))
         for c in cents])
     best = (F.array_position(F.col("_ivf_dists"),

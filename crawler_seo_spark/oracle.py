@@ -70,6 +70,29 @@ SECURITY_HEADER_FLAGS = {
 }
 
 
+def c21_status_fields(rec: dict) -> dict:
+    """C21 auxiliary outputs (status_analyzer.py:271-324): present-header
+    map (X-XSS-Protection included), >1 MB performance issue, 301/302 +
+    non-HTML SEO status issues — reference strings verbatim."""
+    from .config import SECURITY_HEADERS
+    headers = rec.get("headers", {})
+    perf = []
+    cl = headers.get("Content-Length")
+    if cl and int(cl) > 1024 * 1024:
+        perf.append(f"Página muito grande ({cl} bytes)")
+    seo = []
+    if rec["status_code"] in (301, 302):
+        seo.append("Redirect pode afetar SEO")
+    if "text/html" not in (rec.get("content_type") or "").lower():
+        seo.append("Content-Type não é HTML")
+    return {
+        "Security_Headers": {k: headers[k] for k in SECURITY_HEADERS
+                             if headers.get(k)},
+        "Performance_Issues": " | ".join(perf),
+        "SEO_Status_Issues": " | ".join(seo),
+    }
+
+
 def length_status(n: int, lo: int, hi: int) -> str:
     if n == 0:
         return STATUS_ABSENT
@@ -297,6 +320,7 @@ def analyze_page_oracle(rec: dict, url: str, titles: _DupTracker,
         "x_frame_options": flags["x_frame_options"],
         "x_content_type_options": flags["x_content_type_options"],
         "referrer_policy": flags["referrer_policy"],
+        **c21_status_fields(rec),
     }
 
 
@@ -358,6 +382,7 @@ def run_oracle(store: dict[str, dict], config: CrawlConfig) -> OracleRun:
             else:
                 row["Warnings"] = " | ".join(_status_warnings(
                     rec["status_code"], url, rec["final_url"]))
+                row.update(c21_status_fields(rec))
             batch_results.append(row)
         out.results.extend(batch_results)
         enq = 0

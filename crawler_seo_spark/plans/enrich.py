@@ -203,6 +203,27 @@ def enrich_results(results: DataFrame) -> DataFrame:
     hdr = F.col("headers")
     flags = {name: hdr.getItem(name).isNotNull() & (hdr.getItem(name) != "")
              for name in SECURITY_HEADERS}
+    # C21 full outputs (status_analyzer.py:271-324): present-header map
+    # (X-XSS-Protection included), >1 MB performance issue, 301/302 +
+    # non-HTML SEO status issues — reference message strings verbatim.
+    security_headers_map = F.map_from_entries(F.filter(
+        F.array(*[F.struct(F.lit(n).alias("key"),
+                           hdr.getItem(n).alias("value"))
+                  for n in SECURITY_HEADERS]),
+        lambda e: e["value"].isNotNull() & (e["value"] != "")))
+    content_length_hdr = hdr.getItem("Content-Length").cast("long")
+    performance_issues = F.filter(F.array(
+        F.when(content_length_hdr > 1024 * 1024,
+               F.concat(F.lit("Página muito grande ("),
+                        hdr.getItem("Content-Length"), F.lit(" bytes)")))),
+        lambda x: x.isNotNull())
+    seo_status_issues = F.filter(F.array(
+        F.when(F.col("status_code").isin(301, 302),
+               F.lit("Redirect pode afetar SEO")),
+        F.when(~F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+               .contains("text/html"),
+               F.lit("Content-Type não é HTML"))),
+        lambda x: x.isNotNull())
     missing = sum(
         F.when(~flags[n], 1).otherwise(0)
         for n in ["Strict-Transport-Security", "Content-Security-Policy",
@@ -266,6 +287,9 @@ def enrich_results(results: DataFrame) -> DataFrame:
         .alias("Has_Open_Graph"),
         risk_level.alias("Risk_Level"),
         risk_score.alias("Risk_Score"),
+        security_headers_map.alias("Security_Headers"),
+        F.array_join(performance_issues, " | ").alias("Performance_Issues"),
+        F.array_join(seo_status_issues, " | ").alias("SEO_Status_Issues"),
         flags["Strict-Transport-Security"].alias("hsts_present"),
         flags["Content-Security-Policy"].alias("csp_present"),
         flags["X-Frame-Options"].alias("x_frame_options"),

@@ -214,14 +214,23 @@ def tab_mixed_content(wide: DataFrame) -> DataFrame:
 
 def tab_duplicates_report(wide: DataFrame) -> DataFrame:
     """A3 (metatags_analyzer.py:387-404): title → url list where count > 1.
-    ``collect_list`` preserves no order guarantee, so emit count + first/last
-    URL by crawl order for deterministic output."""
+
+    The reference appends urls in INSERTION (crawl) order; ``collect_list``
+    preserves no order, so collect (crawl_seq, URL) structs, sort by seq,
+    project the urls — deterministic AND reference-ordered. ``first_url``
+    is the crawl-order first occurrence (the reference's canonical url)."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("crawl_seq").alias("seq"),
+                     F.col("URL").alias("url")))),
+        lambda s: s["url"])
     return (wide.filter(F.col("Title") != "")
             .groupBy("Title")
             .agg(F.count("*").alias("dup_count"),
-                 F.min("URL").alias("first_url"),
-                 F.sort_array(F.collect_list("URL")).alias("urls"))
-            .filter(F.col("dup_count") > 1))
+                 ordered.alias("urls"))
+            .filter(F.col("dup_count") > 1)
+            .withColumn("first_url", F.element_at("urls", 1))
+            .select("Title", "dup_count", "first_url", "urls"))
 
 
 ALL_TABS = {
@@ -240,11 +249,48 @@ ALL_TABS = {
 
 
 def write_report(wide: DataFrame, out_dir: str) -> dict[str, int]:
-    """Materialize every tab to parquet (the xlsx stage of the reference is
-    presentation-only). Returns row counts per tab."""
+    """Materialize every tab to parquet. Returns row counts per tab.
+
+    The count rides the write as an observed metric — each tab's query runs
+    exactly ONCE (round 1 ran ``write`` then ``count()``, recomputing every
+    tab twice)."""
+    from pyspark.sql import Observation
     counts = {}
     for name, fn in ALL_TABS.items():
-        df = fn(wide)
+        obs = Observation()
+        df = fn(wide).observe(obs, F.count(F.lit(1)).alias("n"))
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-        counts[name] = df.count()
+        counts[name] = int(obs.get["n"])
     return counts
+
+
+def write_xlsx(wide: DataFrame, path: str, max_rows: int = 100_000) -> str:
+    """S5 closure: ONE formatted .xlsx workbook, one sheet per tab
+    (reference deliverable — reports/excel_generator.py:18-211: sheet per
+    tab, auto-sized columns). Driver-side presentation sink over the tab
+    DataFrames; the main tab is capped at ``max_rows`` (the parquet sink is
+    the full-data path). Arrays/structs are rendered with the display joins
+    already applied by the tab queries; any residual array renders as
+    ``" | "``-joined text (reference display convention)."""
+    from .xlsx import write_workbook
+    sheets = []
+    for name, fn in ALL_TABS.items():
+        df = fn(wide).limit(max_rows)
+        cols = []
+        for f_ in df.schema.fields:
+            c = F.col(f_.name)
+            if f_.dataType.typeName() == "array":
+                element = f_.dataType.elementType.typeName()
+                c = (F.array_join(c, " | ") if element == "string"
+                     else F.array_join(F.transform(
+                         c, lambda x: x.cast("string")), " | "))
+            elif f_.dataType.typeName() in ("struct", "map"):
+                c = c.cast("string")
+            cols.append(c.alias(f_.name))
+        pdf = df.select(*cols).toPandas()
+        rows = [tuple(None if v != v and isinstance(v, float) else v
+                      for v in rec)
+                for rec in pdf.itertuples(index=False, name=None)]
+        sheets.append((name, list(pdf.columns), rows))
+    write_workbook(path, sheets)
+    return path

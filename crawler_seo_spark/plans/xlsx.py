@@ -1,0 +1,157 @@
+"""Minimal driver-side .xlsx writer (stdlib only — zipfile + XML).
+
+The reference's user-facing deliverable is a formatted Excel workbook with
+one sheet per report tab (reports/excel_generator.py:18-211: sheet-per-tab,
+auto-sized columns). No Excel library ships in this container, and an
+engine should not depend on one anyway — OOXML's spreadsheet format is a
+zip of small XML parts, so this module emits it directly:
+
+* one ``xl/worksheets/sheetN.xml`` per tab, cells as inline strings or
+  numbers (no shared-string table — report tabs are small and inline
+  strings keep the writer single-pass);
+* auto-sized columns (reference ``:194-211``): width = clamped max cell
+  text length per column;
+* a frozen header row (pane at A2), mirroring the reference's header
+  emphasis.
+
+This is a presentation sink: it runs on the DRIVER over collected tab rows
+(every tab is bounded — filters/top-k/summary — except the main tab, which
+is capped by ``max_rows``; the scale path for full data is the parquet
+sink in :mod:`crawler_seo_spark.plans.reports`).
+"""
+
+from __future__ import annotations
+
+import zipfile
+from xml.sax.saxutils import escape
+
+_XMLNS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_RELNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKGRELNS = "http://schemas.openxmlformats.org/package/2006/relationships"
+_CTNS = "http://schemas.openxmlformats.org/package/2006/content-types"
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → A, B, ..., Z, AA, ..."""
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _cell(col: int, row: int, value) -> str:
+    ref = f"{_col_letter(col)}{row}"
+    if value is None:
+        return ""
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        if isinstance(value, float) and (value != value):  # NaN
+            return ""
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    text = escape(str(value)).replace("\r", "")
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
+
+
+def _sheet_xml(header: list[str], rows: list[tuple]) -> str:
+    widths = [len(str(h)) for h in header]
+    body = []
+    cells = "".join(_cell(c, 1, h) for c, h in enumerate(header))
+    body.append(f'<row r="1">{cells}</row>')
+    for r, row in enumerate(rows, start=2):
+        cells = []
+        for c, v in enumerate(row):
+            if v is not None and c < len(widths):
+                widths[c] = max(widths[c], min(len(str(v)), 80))
+            cells.append(_cell(c, r, v))
+        body.append(f'<row r="{r}">{"".join(cells)}</row>')
+    cols = "".join(
+        f'<col min="{i + 1}" max="{i + 1}" width="{min(w + 2, 60)}" '
+        f'customWidth="1"/>' for i, w in enumerate(widths))
+    return (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_XMLNS}">'
+        f'<sheetViews><sheetView workbookViewId="0">'
+        f'<pane ySplit="1" topLeftCell="A2" state="frozen"/>'
+        f'</sheetView></sheetViews>'
+        f'<cols>{cols}</cols>'
+        f'<sheetData>{"".join(body)}</sheetData></worksheet>')
+
+
+_STYLES = (
+    f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<styleSheet xmlns="{_XMLNS}">'
+    '<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>'
+    '<fills count="2"><fill><patternFill patternType="none"/></fill>'
+    '<fill><patternFill patternType="gray125"/></fill></fills>'
+    '<borders count="1"><border/></borders>'
+    '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+    '<cellXfs count="1"><xf/></cellXfs></styleSheet>')
+
+
+def _sanitize_name(name: str, taken: set[str]) -> str:
+    """Excel sheet names: ≤31 chars, no []:*?/\\ — and unique."""
+    clean = "".join("_" if ch in "[]:*?/\\" else ch for ch in name)[:31]
+    base, n = clean, 1
+    while clean in taken:
+        n += 1
+        clean = f"{base[:28]}_{n}"
+    taken.add(clean)
+    return clean
+
+
+def write_workbook(path: str,
+                   sheets: list[tuple[str, list[str], list[tuple]]]) -> None:
+    """Write ``sheets`` = [(name, header, rows), ...] as a valid .xlsx."""
+    if not sheets:
+        raise ValueError("workbook needs at least one sheet")
+    taken: set[str] = set()
+    names = [_sanitize_name(n, taken) for n, _, _ in sheets]
+    n = len(sheets)
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        f'ContentType="application/vnd.openxmlformats-officedocument.'
+        f'spreadsheetml.worksheet+xml"/>' for i in range(n))
+    content_types = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{_CTNS}">'
+        f'<Default Extension="rels" ContentType="application/vnd.'
+        f'openxmlformats-package.relationships+xml"/>'
+        f'<Default Extension="xml" ContentType="application/xml"/>'
+        f'<Override PartName="/xl/workbook.xml" ContentType="application/'
+        f'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        f'{overrides}'
+        f'<Override PartName="/xl/styles.xml" ContentType="application/vnd.'
+        f'openxmlformats-officedocument.spreadsheetml.styles+xml"/></Types>')
+    root_rels = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKGRELNS}">'
+        f'<Relationship Id="rId1" Type="{_RELNS}/officeDocument" '
+        f'Target="xl/workbook.xml"/></Relationships>')
+    sheet_tags = "".join(
+        f'<sheet name="{escape(names[i])}" sheetId="{i + 1}" '
+        f'r:id="rId{i + 1}"/>' for i in range(n))
+    workbook = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_XMLNS}" xmlns:r="{_RELNS}">'
+        f'<sheets>{sheet_tags}</sheets></workbook>')
+    wb_rels = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKGRELNS}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{_RELNS}/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>' for i in range(n))
+        + f'<Relationship Id="rId{n + 1}" Type="{_RELNS}/styles" '
+          f'Target="styles.xml"/></Relationships>')
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/styles.xml", _STYLES)
+        for i, (_, header, rows) in enumerate(sheets):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml",
+                       _sheet_xml(header, rows))

@@ -95,6 +95,65 @@ def page_from_document(doc_id: int, text: str, n_docs: int) -> dict:
     }
 
 
+_PATH_RE = None
+
+
+def doc_id_from_url(url: str) -> int | None:
+    """Inverse of :func:`doc_url` — None when the url is not a site page."""
+    global _PATH_RE
+    import re
+    if _PATH_RE is None:
+        _PATH_RE = re.compile(r"-(\d+)$")
+    if url == SEED_URL:
+        return 0
+    m = _PATH_RE.search(url)
+    if not m:
+        return None
+    did = int(m.group(1))
+    return did if doc_url(did) == url else None
+
+
+_WORDS = ("dados analise pagina conteudo sistema produto categoria servico "
+          "relatorio cliente mercado modelo resultado processo estrutura "
+          "camada indice rede texto valor formato janela codigo motor fluxo "
+          "escala plano fonte busca grafo item chave bloco sinal campo").split()
+
+
+def synthetic_text(doc_id: int, n_words: int = 350) -> str:
+    """Deterministic pseudo-text for a document id — a pure function, so a
+    LIVE-mode fetch kernel can materialize any page with zero shared state
+    (no page store in executor memory, exactly like fetching from a web
+    server). Multiplicative-hash word selection; no RNG objects."""
+    x = (doc_id * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+    words = []
+    for _ in range(n_words):
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        words.append(_WORDS[x >> 27])
+    return " ".join(words)
+
+
+def live_fetch_factory(n_docs: int, text_fn=synthetic_text):
+    """Deterministic live-mode fetcher factory for the documents site:
+    ``CrawlEngine(spark, pages=None, cfg, fetch_fn_factory=live_fetch_factory(n))``
+    fetches every URL by regenerating its page on the executor — the
+    production ``mapInPandas`` fetch path with a synthetic origin server.
+    Off-site / unknown urls return the 404 shape of a network miss."""
+    def factory():
+        def fetch(url: str) -> dict:
+            did = doc_id_from_url(url)
+            if did is None or did >= n_docs:
+                return {"status_code": 404, "content_type": "",
+                        "final_url": url, "response_time_ms": 0.0,
+                        "content_length": 0, "html": "", "headers": {}}
+            rec = page_from_document(did, text_fn(did), n_docs)
+            return {k: rec[k] for k in
+                    ("status_code", "content_type", "final_url",
+                     "response_time_ms", "content_length", "html",
+                     "headers")}
+        return fetch
+    return factory
+
+
 def pages_df_from_documents(spark, sf_dir: str, limit: int | None = None):
     """documents.parquet → page-store DataFrame (distributed derivation via
     mapInPandas — the per-page build never leaves the executors)."""

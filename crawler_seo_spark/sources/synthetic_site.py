@@ -230,6 +230,8 @@ def build_site(n_pages: int, n_images: int = 0, seed: int = 42,
             headers["X-Content-Type-Options"] = "nosniff"
         if i % 11 == 0:
             headers["Referrer-Policy"] = "no-referrer"
+        if i % 13 == 0:
+            headers["X-XSS-Protection"] = "1; mode=block"
         content_length = 2048 + (i * 997) % 4096
         if i % 53 == 23:
             content_length = 2_000_000  # perf-flag page (> 1 MiB)

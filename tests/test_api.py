@@ -47,7 +47,8 @@ def test_quick_analysis_end_to_end(spark, pages_df, tmp_path):
     assert 0 < stats["success_rate"] <= 100
     assert stats["urls_per_second"] > 0
     assert set(stats["filter_breakdown"]) <= {
-        "ECOMMERCE_ENDPOINT", "FILE_EXTENSION", "TECHNICAL_PATTERN"}
+        "ECOMMERCE_ENDPOINT", "FILE_EXTENSION", "TECHNICAL_PATTERN",
+        "INVALID_URL"}
     # plug-in column survives into the raw results
     assert "title_words" in state.results.columns
     assert (tmp_path / "report" / "analise_completa").exists()

@@ -139,3 +139,45 @@ def test_robots_table_from_texts_blocks(spark):
     kept = {r["url"] for r in filter_allowed(cand, robots).collect()}
     assert kept == {"https://shop.example.test/product/item-1",
                     "https://other.test/blog/x"}
+
+
+def test_live_mode_matches_store_mode(spark):
+    """LIVE mode (pages=None + deterministic fetch kernel) must reproduce
+    the store-join crawl EXACTLY — same order, same status codes, same
+    seen set — since both are views of the same origin function."""
+    import pandas as pd
+
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL,
+        live_fetch_factory,
+        page_from_document,
+        synthetic_text,
+    )
+
+    n = 150
+    rows = [page_from_document(i, synthetic_text(i), n) for i in range(n)]
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=(
+        "url string, page_index long, status_code int, content_type string, "
+        "final_url string, response_time_ms double, content_length long, "
+        "html string, headers map<string,string>, image_ids array<string>"))
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=60, batch_size=15,
+                      requests_per_second=1e9)
+
+    st_store = CrawlEngine(spark, pages, cfg).run()
+    st_live = CrawlEngine(spark, None, cfg,
+                          fetch_fn_factory=live_fetch_factory(n)).run()
+
+    a = [tuple(r) for r in st_store.crawl_order.orderBy("crawl_seq")
+         .collect()]
+    b = [tuple(r) for r in st_live.crawl_order.orderBy("crawl_seq")
+         .collect()]
+    assert a == b
+    sa = {(r["url"], r["status_code"], r["content_md5"])
+          for r in st_store.results.collect()}
+    sb = {(r["url"], r["status_code"], r["content_md5"])
+          for r in st_live.results.collect()}
+    assert sa == sb
+    assert (sorted(r["url"] for r in st_store.seen.collect())
+            == sorted(r["url"] for r in st_live.seen.collect()))

@@ -23,6 +23,7 @@ WIDE_COLS = [
     "Meta_Viewport", "Has_Open_Graph", "Risk_Level", "Risk_Score",
     "hsts_present", "csp_present", "x_frame_options",
     "x_content_type_options", "referrer_policy",
+    "Security_Headers", "Performance_Issues", "SEO_Status_Issues",
 ]
 
 
@@ -45,6 +46,10 @@ def test_wide_rows_match_oracle(runs):
         if "Title" not in row:  # non-analyzed page: base fields only
             assert g["Status_Code"] == row["Status_Code"]
             assert g["Warnings"] == row.get("Warnings", "")
+            # C21 status fields exist for every response (301s, non-HTML)
+            assert g["SEO_Status_Issues"] == row["SEO_Status_Issues"]
+            assert g["Performance_Issues"] == row["Performance_Issues"]
+            assert dict(g["Security_Headers"]) == row["Security_Headers"]
             continue
         for col in WIDE_COLS:
             if g[col] != row[col]:
@@ -91,3 +96,60 @@ def test_score_ranking_is_topk(runs):
     assert scores == sorted(scores, reverse=True)
     top = wide.orderBy(wide["Metatags_Score"].desc()).limit(10).collect()
     assert scores[0] == top[0]["Metatags_Score"]
+
+
+def test_duplicates_report_crawl_order(runs):
+    """A3 parity: duplicate-title url lists in CRAWL (insertion) order —
+    the reference appends urls as pages are processed
+    (metatags_analyzer.py:387-404); round 1 sorted them alphabetically."""
+    oracle, wide = runs
+    from crawler_seo_spark.plans.reports import tab_duplicates_report
+    groups: dict[str, list[str]] = {}
+    for r in oracle.results:  # oracle.results is in crawl order
+        if r.get("Title"):
+            groups.setdefault(r["Title"], []).append(r["URL"])
+    expected = {t: urls for t, urls in groups.items() if len(urls) > 1}
+    rows = tab_duplicates_report(wide).collect()
+    got = {r["Title"]: list(r["urls"]) for r in rows}
+    assert got == expected
+    assert all(r["first_url"] == r["urls"][0] for r in rows)
+    assert all(r["dup_count"] == len(r["urls"]) for r in rows)
+
+
+def test_write_xlsx_workbook(runs, tmp_path):
+    """S5 closure: one .xlsx with all 11 sheets, valid OOXML zip, autosized
+    columns, data rows present."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+    _, wide = runs
+    from crawler_seo_spark.plans.reports import ALL_TABS, write_xlsx
+    path = str(tmp_path / "report.xlsx")
+    write_xlsx(wide, path)
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert "[Content_Types].xml" in names
+        assert "xl/workbook.xml" in names
+        sheet_parts = [n for n in names if n.startswith("xl/worksheets/")]
+        assert len(sheet_parts) == len(ALL_TABS)
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+        sheet_names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        assert sheet_names == list(ALL_TABS)
+        # main tab: header row + 120 data rows, every XML part parses
+        main = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = list(main.iter(f"{ns}row"))
+        assert len(rows) == 121
+        for part in sheet_parts:
+            ET.fromstring(z.read(part))
+
+
+def test_write_report_counts_single_pass(runs, tmp_path):
+    """write_report returns exact per-tab counts via observed metrics."""
+    _, wide = runs
+    from crawler_seo_spark.plans.reports import ALL_TABS, write_report
+    counts = write_report(wide, str(tmp_path / "rep"))
+    assert counts["analise_completa"] == 120
+    spark = wide.sparkSession
+    for name in ALL_TABS:
+        on_disk = spark.read.parquet(str(tmp_path / "rep" / name)).count()
+        assert counts[name] == on_disk, name

@@ -94,3 +94,30 @@ def test_md5_matches_hashlib():
     u = "https://example.com/page1"
     assert url_md5(u) == hashlib.md5(u.encode()).hexdigest()
     assert is_relevant(u)
+
+
+def test_invalid_url_filtered_reason():
+    """Normalization exceptions surface as INVALID_URL filtered entries
+    (reference core/url_manager.py:64-66); out-of-scope urls stay silent."""
+    from crawler_seo_spark.functions.analyzers import (
+        extract_filtered,
+        extract_links,
+    )
+    from crawler_seo_spark.functions.htmldoc import parse_html
+    from crawler_seo_spark.functions.urlnorm import canonicalize_url_ex
+
+    assert canonicalize_url_ex("http://[bad") == (None, True)
+    assert canonicalize_url_ex("ftp://x.test/a") == (None, False)
+    assert canonicalize_url_ex(
+        "https://other.test/", None, "shop.example.test") == (None, False)
+
+    doc = parse_html('<a href="http://[bad">x</a>'
+                     '<a href="ftp://elsewhere/">y</a>'
+                     '<a href="/fine">z</a>')
+    filtered = extract_filtered(doc, "https://shop.example.test/",
+                                "shop.example.test")
+    assert ("http://[bad", "INVALID_URL") in filtered
+    assert all(r != "INVALID_URL" for u, r in filtered if u != "http://[bad")
+    assert extract_links(doc, "https://shop.example.test/",
+                         "shop.example.test") == \
+        ["https://shop.example.test/fine"]
