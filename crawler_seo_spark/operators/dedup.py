@@ -400,3 +400,44 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
                     F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), 6)
                     .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Generic 64-bit Hamming near-dup (image phash dedup)
+# ---------------------------------------------------------------------------
+
+def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
+                           bits: int = 64, band_bits: int = 16,
+                           max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs over an integer fingerprint column (e.g. the image
+    table's 64-bit perceptual ``phash``) by banded Hamming search.
+
+    Pigeonhole: two hashes within Hamming distance ``bands - 1`` share at
+    least one identical band, so an equi-join on (band index, band value)
+    finds every candidate with distance ≤ bands−1 ≥ ``max_hamming``; the
+    exact ``bit_count(xor)`` then verifies. The join moves only
+    (band, key, id, hash) tuples — never payloads — and each band key is a
+    uniform ``band_bits``-bit slice, so bucket sizes stay near 1 at any
+    corpus size: the same bucketed design as MinHash-LSH (dedup for text)
+    applied to the image axis. Requires ``max_hamming < bits/band_bits``.
+    """
+    n_bands = bits // band_bits
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    mask = (1 << band_bits) - 1
+    banded = df.select(
+        F.col(id_col), F.col(hash_col).alias("_h"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(hash_col), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band", "band_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.band_key") == F.col("r.band_key"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -60,7 +60,8 @@ def schedule_fetches(batch: DataFrame, requests_per_second: float,
 
 def salted_repartition(df: DataFrame, salt_buckets: int,
                        hot_threshold: int | None = None,
-                       url_col: str = "url") -> DataFrame:
+                       url_col: str = "url",
+                       num_partitions: int | None = None) -> DataFrame:
     """Repartition by ``(host, salt)`` where salt spreads hot hosts.
 
     When ``hot_threshold`` is given, only hosts with more rows than the
@@ -68,13 +69,23 @@ def salted_repartition(df: DataFrame, salt_buckets: int,
     host fans out over ``salt_buckets``. The hot-host count uses a window
     aggregation (one shuffle) — at production scale you'd maintain host
     statistics across rounds instead of recounting.
+
+    The partition COUNT is always pinned explicitly. ``repartition(cols)``
+    without a count is REPARTITION_BY_COL, which AQE may coalesce by
+    shuffle SIZE — a batch of URLs is a few MB, so AQE folded it into 1-2
+    partitions and the heavy per-URL fetch/parse work DOWNSTREAM of the
+    exchange ran nearly serially (measured 38 s vs 7 s for an 80k-URL
+    round at 8 cores; this was the single largest cause of round 1's 0.27
+    crawl-scaling efficiency). Pinning the count (REPARTITION_BY_NUM)
+    keeps the fan-out at the intended parallelism.
     """
     if "host" not in df.columns:
         df = with_host(df, url_col)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)).cast("int")
     if hot_threshold is not None:
         from pyspark.sql import Window
         cnt = F.count("*").over(Window.partitionBy("host"))
         salt = F.when(cnt > hot_threshold, salt).otherwise(F.lit(0))
     out = df.withColumn("host_salt", salt)
-    return out.repartition(F.col("host"), F.col("host_salt"))
+    return out.repartition(n, F.col("host"), F.col("host_salt"))

@@ -950,6 +950,58 @@ def crawl_bfs_documents(spark, sf_dir):
     return state.crawl_order
 
 
+_PHASH_SQL = """
+SELECT doc_id AS image_id,
+       xor(((((doc_id - doc_id % 4) * 48271) % 65536)
+            | ((((doc_id - doc_id % 4) * 69621) % 65536) << 16))
+           | (((((doc_id - doc_id % 4) * 16807) % 65536) << 32)
+              | ((((doc_id - doc_id % 4) * 40503) % 32768) << 48)),
+           CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                           WHEN 2 THEN 2 ELSE 1099511627776 END)::BIGINT
+       AS phash
+FROM documents
+"""
+
+
+@q("m_phash_near_dup", f"""
+WITH img AS ({_PHASH_SQL}),
+bands AS (
+  SELECT image_id, phash, b.band,
+         (phash >> (b.band * 16)) & 65535 AS band_key
+  FROM img, (SELECT unnest(range(4)) AS band) b)
+SELECT DISTINCT l.image_id AS id_a, r.image_id AS id_b,
+       bit_count(xor(l.phash, r.phash))::INT AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_key = r.band_key
+ AND l.image_id < r.image_id
+WHERE bit_count(xor(l.phash, r.phash)) <= 2
+""")
+def m_phash_near_dup(spark, sf_dir):
+    """Image-level near-dup dedup over the 64-bit perceptual hash column of
+    the image+caption table (input_hint shape): banded Hamming search with
+    exact bit_count verify — the image-axis analog of MinHash-LSH. The
+    phash column is derived arithmetically from ``doc_id`` (groups of 4
+    share a base hash with ≤2 flipped bits ⇒ planted near-dup clusters)
+    so DuckDB constructs the identical table independently."""
+    from ..operators.dedup import hamming_near_dup_pairs
+    base = F.col("doc_id") - F.col("doc_id") % 4
+    assembled = (
+        ((base * 48271) % 65536)
+        .bitwiseOR(F.shiftleft((base * 69621) % 65536, 16))
+        .bitwiseOR(F.shiftleft((base * 16807) % 65536, 32))
+        .bitwiseOR(F.shiftleft((base * 40503) % 32768, 48)))
+    noise = (F.when(F.col("doc_id") % 4 == 0, 0)
+             .when(F.col("doc_id") % 4 == 1, 1)
+             .when(F.col("doc_id") % 4 == 2, 2)
+             .otherwise(F.lit(1099511627776)))  # 1<<40
+    img = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        assembled.bitwiseXOR(noise).cast("long").alias("phash"))
+    return hamming_near_dup_pairs(img, "image_id", "phash",
+                                  bits=64, band_bits=16, max_hamming=2) \
+        .withColumn("hamming", F.col("hamming").cast("int"))
+
+
 @q("m_validate_images")
 def m_validate_images(spark, sf_dir):
     """Image+caption payload validation (input_hint invariant): decode,

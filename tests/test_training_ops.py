@@ -299,3 +299,30 @@ def test_crawl_edges_to_pagerank(spark, pages_df):
     ranks = pagerank(edges, n_iters=5)
     assert ranks.count() > 0
     assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-6
+
+
+def test_hamming_near_dup_pairs(spark):
+    """Planted 64-bit fingerprint clusters: ids sharing a base hash with
+    ≤2 flipped bits pair up; distinct bases never pair (image-axis phash
+    dedup)."""
+    from crawler_seo_spark.operators.dedup import hamming_near_dup_pairs
+    import pyspark.sql.functions as F
+
+    rows = []
+    for g in range(40):
+        base = ((g * 48271) % 65536 | ((g * 69621) % 65536) << 16
+                | ((g * 16807) % 65536) << 32 | ((g * 40503) % 32768) << 48)
+        for j, noise in enumerate((0, 1, 2, 1 << 40)):
+            rows.append((g * 4 + j, base ^ noise))
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    got = hamming_near_dup_pairs(df, "image_id", "phash",
+                                 bits=64, band_bits=16, max_hamming=2)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    # every within-group pair (6 per group), nothing across groups
+    assert len(pairs) == 40 * 6
+    for (a, b), h in pairs.items():
+        assert a // 4 == b // 4 and 0 < h <= 2
+    # hamming values exact: xor of noises
+    noises = (0, 1, 2, 1 << 40)
+    for (a, b), h in pairs.items():
+        assert h == bin(noises[a % 4] ^ noises[b % 4]).count("1")

@@ -130,3 +130,63 @@ def test_parser_total_on_tag_soup(parts):
     out = analyze_page("".join(parts), "https://x.test/p", "x.test", True)
     assert isinstance(out["links"], list)
     assert out["h1_count"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Fast path == slow path (byte parity of the string-op canonicalizer)
+# ---------------------------------------------------------------------------
+
+fast_seg = st.text(alphabet=string.ascii_letters + string.digits + "._~-",
+                   min_size=1, max_size=10)
+fastish_path = st.lists(fast_seg, max_size=4).map(
+    lambda segs: "/" + "/".join(segs) if segs else "")
+messy = st.text(alphabet=string.ascii_letters + string.digits
+                + "/?#%&=;:@ .~_-", max_size=40)
+
+
+@settings(max_examples=500, deadline=None)
+@given(fastish_path, st.booleans(), st.booleans(), st.booleans(),
+       st.sampled_from(["example.com", "www.example.com", "EXAMPLE.com",
+                        "other.test"]))
+def test_fast_path_equals_slow_path_absolute(path, trailing, www, http, host):
+    from crawler_seo_spark.functions.urlnorm import (
+        _canonicalize_slow,
+        canonicalize_url_ex,
+    )
+    scheme = "http" if http else "https"
+    url = f"{scheme}://{host}{path}" + ("/" if trailing else "")
+    assert canonicalize_url_ex(url, None, BD) == \
+        _canonicalize_slow(url, None, BD)
+    assert canonicalize_url_ex(url, None, None) == \
+        _canonicalize_slow(url, None, None)
+
+
+@settings(max_examples=500, deadline=None)
+@given(fastish_path, st.booleans(),
+       st.sampled_from(["https://example.com/", "https://example.com/a/b",
+                        "http://www.example.com/x"]))
+def test_fast_path_equals_slow_path_relative(path, trailing, base):
+    from crawler_seo_spark.functions.urlnorm import (
+        _canonicalize_slow,
+        canonicalize_url_ex,
+    )
+    if not path:
+        return
+    url = path + ("/" if trailing else "")
+    assert canonicalize_url_ex(url, base, BD) == \
+        _canonicalize_slow(url, base, BD)
+
+
+@settings(max_examples=1000, deadline=None)
+@given(messy, st.sampled_from([None, "https://example.com/p"]))
+def test_fast_path_never_diverges_on_arbitrary_input(u, base):
+    """For ARBITRARY strings the public function must agree with the slow
+    path — either the fast path declined (fell through) or it produced the
+    identical bytes."""
+    from crawler_seo_spark.functions.urlnorm import (
+        _canonicalize_slow,
+        canonicalize_url_ex,
+    )
+    if not u:
+        return  # empty href is guarded out before normalization (C1 spec)
+    assert canonicalize_url_ex(u, base, BD) == _canonicalize_slow(u, base, BD)
