@@ -82,6 +82,8 @@ def main() -> None:
     timed("d_simhash_full",
           lambda: force(docs.select(
               "doc_id", simhash64(F.col("text"), hash_mode="xxhash64").alias("sh"))))
+    timed("m_phash_near_dup",
+          lambda: force(dq.m_phash_near_dup(spark, SF_DIR)))
 
     # --- similarity search ----------------------------------------------------
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -123,6 +125,24 @@ def main() -> None:
 
     from crawler_seo_spark.plans.enrich import enrich_results
     timed("enrich_wide_table", lambda: force(enrich_results(state.results)))
+
+    # --- LIVE-mode crawl (production fetch shape: pages materialized on the
+    # executors by the deterministic origin function; no page store) --------
+    from crawler_seo_spark.sources.from_documents import live_fetch_factory
+    lcfg = CrawlConfig(seed_url=SEED_URL,
+                       seed_urls=[doc_url(i) for i in range(0, 100_000, 50)],
+                       max_urls=30_000, batch_size=10_000,
+                       requests_per_second=1e9,
+                       seq_window_threshold=8_000)
+    t0 = time.monotonic()
+    lstate = CrawlEngine(spark, None, lcfg,
+                         fetch_fn_factory=live_fetch_factory(100_000)).run()
+    n_live = lstate.crawl_order.count()
+    live_s = round(time.monotonic() - t0, 3)
+    timings["crawl_live_30k"] = live_s
+    extras["crawl_live_urls_per_sec"] = round(n_live / live_s, 2)
+    print(f"  live crawl: {n_live} urls in {live_s}s "
+          f"({extras['crawl_live_urls_per_sec']}/s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

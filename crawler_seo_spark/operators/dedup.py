@@ -441,3 +441,63 @@ def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs + keeper cut
+# ---------------------------------------------------------------------------
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → (member, group) where
+    ``group`` is the minimum member id of the component.
+
+    A 100 TB dedup pipeline needs clusters, not pairs: MinHash-LSH / phash
+    banding emit edges; the keep-one-per-cluster cut needs the transitive
+    closure. Iterative min-label propagation, one DataFrame job per
+    iteration (same driver-loop discipline as PageRank, operators/graph.py):
+    every node exchanges labels with its neighbors and keeps the minimum;
+    converged when no label changes. Iterations ≈ graph diameter (near-dup
+    clusters are small and dense — a handful of rounds); per-iteration
+    lineage is cut with localCheckpoint so plans stay O(1).
+    """
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges["b"] == labels["node"])
+                        .groupBy("a")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["node"] == neighbor_min["a"], "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"),
+                         F.col("label").alias("group"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per near-dup cluster (the minimum id — the
+    group label) plus every row that is in no cluster. The anti-join moves
+    only ids; payloads are never shuffled."""
+    groups = dedup_groups(pairs)
+    losers = groups.filter(F.col("member") != F.col("group")) \
+        .select(F.col("member").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

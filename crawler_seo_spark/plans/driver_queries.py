@@ -984,6 +984,35 @@ def m_phash_near_dup(spark, sf_dir):
     share a base hash with ≤2 flipped bits ⇒ planted near-dup clusters)
     so DuckDB constructs the identical table independently."""
     from ..operators.dedup import hamming_near_dup_pairs
+    return hamming_near_dup_pairs(_phash_table(spark, sf_dir),
+                                  "image_id", "phash",
+                                  bits=64, band_bits=16, max_hamming=2) \
+        .withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@q("d_dedup_groups", """
+SELECT doc_id AS member, (doc_id - doc_id % 4)::BIGINT AS group_id
+FROM documents
+-- singleton tail group (no pairs) never enters the component graph
+WHERE doc_id - doc_id % 4 < (SELECT max(doc_id) FROM documents)
+""")
+def d_dedup_groups(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over the phash near-dup pairs. The planted pair structure
+    makes the transitive closure analytically known — groups of 4
+    consecutive ids labeled by their minimum — so the oracle states the
+    EXPECTED components independently of the propagation algorithm."""
+    from ..operators.dedup import dedup_groups, hamming_near_dup_pairs
+    pairs = hamming_near_dup_pairs(_phash_table(spark, sf_dir),
+                                   "image_id", "phash",
+                                   bits=64, band_bits=16, max_hamming=2)
+    return (dedup_groups(pairs, "id_a", "id_b")
+            .select(F.col("member").cast("long").alias("member"),
+                    F.col("group").cast("long").alias("group_id")))
+
+
+def _phash_table(spark, sf_dir):
+    """The derived image-table phash column (shared by m_phash_near_dup)."""
     base = F.col("doc_id") - F.col("doc_id") % 4
     assembled = (
         ((base * 48271) % 65536)
@@ -993,13 +1022,10 @@ def m_phash_near_dup(spark, sf_dir):
     noise = (F.when(F.col("doc_id") % 4 == 0, 0)
              .when(F.col("doc_id") % 4 == 1, 1)
              .when(F.col("doc_id") % 4 == 2, 2)
-             .otherwise(F.lit(1099511627776)))  # 1<<40
-    img = _t(spark, sf_dir, "documents").select(
+             .otherwise(F.lit(1099511627776)))
+    return _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("image_id"),
         assembled.bitwiseXOR(noise).cast("long").alias("phash"))
-    return hamming_near_dup_pairs(img, "image_id", "phash",
-                                  bits=64, band_bits=16, max_hamming=2) \
-        .withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @q("m_validate_images")

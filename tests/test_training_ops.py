@@ -326,3 +326,29 @@ def test_hamming_near_dup_pairs(spark):
     noises = (0, 1, 2, 1 << 40)
     for (a, b), h in pairs.items():
         assert h == bin(noises[a % 4] ^ noises[b % 4]).count("1")
+
+
+def test_dedup_groups_transitive_and_keeper_cut(spark):
+    """Connected components must follow TRANSITIVE closure (a-b, b-c, c-d
+    chain = one cluster even though a-d never paired), and
+    drop_near_duplicates keeps exactly one representative per cluster."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.operators.dedup import (
+        dedup_groups,
+        drop_near_duplicates,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> {1,2,3,4}
+         (10, 11),                      # pair  -> {10,11}
+         (20, 21), (21, 22), (20, 22)], # triangle -> {20,21,22}
+        "id_a long, id_b long")
+    got = {r["member"]: r["group"] for r in dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    kept = sorted(r["doc_id"] for r in
+                  drop_near_duplicates(docs, pairs).collect())
+    # losers 2,3,4,11,21,22 dropped; singletons (no pairs) all kept
+    assert kept == sorted(set(range(30)) - {2, 3, 4, 11, 21, 22})
