@@ -213,6 +213,48 @@ def _burn(n: int) -> int:
     return x
 
 
+def _kernel_chunk(args: tuple) -> int:
+    """The engine's ACTUAL per-URL work (fetch + md5 + parse/analyze) with
+    no Spark around it — run under a bare multiprocessing pool."""
+    lo, hi = args
+    import hashlib
+
+    from crawler_seo_spark.functions.parse import analyze_page
+    from crawler_seo_spark.sources.from_documents import (
+        doc_url, live_fetch_factory)
+    fetch = live_fetch_factory(1_200_000)()
+    for i in range(lo, hi):
+        u = doc_url(i * 10 + 7)
+        r = fetch(u)
+        hashlib.md5(r["html"].encode()).hexdigest()
+        if r["status_code"] == 200:
+            analyze_page(r["html"], u, "shop.example.test", True)
+    return hi - lo
+
+
+def kernel_ceiling(n_urls: int = 60_000) -> dict:
+    """Workload-shaped hardware ceiling: the fused fetch+analyze kernel in a
+    bare mp.Pool at N and 4N procs. This is what the crawl round's compute
+    CAN scale to on this box; the Spark measurements are graded against it
+    (pure-arithmetic burns understate memory-allocation-heavy work)."""
+    import multiprocessing as mp
+    out = {}
+    for procs in (N_SMALL, N_BIG):
+        chunks = [(k * n_urls // procs, (k + 1) * n_urls // procs)
+                  for k in range(procs)]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            with mp.Pool(procs) as pool:
+                pool.map(_kernel_chunk, chunks)
+            best = min(best, time.monotonic() - t0)
+        out[f"T_{procs}"] = round(best, 2)
+        out[f"urls_per_sec_{procs}"] = round(n_urls / best, 1)
+    out["efficiency_ceiling"] = round(
+        out[f"T_{N_SMALL}"] / ((N_BIG // N_SMALL) * out[f"T_{N_BIG}"]), 3)
+    return out
+
+
 def _suite_subprocess(cores: int) -> dict[str, float]:
     """Each parallelism level runs in its OWN process — a shared JVM leaks
     heap/GC/python-worker state from one measurement into the other."""
@@ -232,6 +274,7 @@ def main() -> None:
         print(json.dumps(run_suite(cores)))
         return
     ceiling = machine_ceiling()
+    k_ceiling = kernel_ceiling()
     r_small = _suite_subprocess(N_SMALL)
     r_big = _suite_subprocess(N_BIG)
     phases = ["w1_parse_analyze", "w2_minhash_sigs", "w2b_lsh_join",
@@ -242,6 +285,7 @@ def main() -> None:
     report = {
         "cores_small": N_SMALL, "cores_big": N_BIG, "rep": REP,
         "machine_ceiling": ceiling,
+        "kernel_pool_ceiling": k_ceiling,
         "n_docs": r_small["n_docs"],
         "phases": {
             p: {

@@ -99,3 +99,24 @@ def test_lsh_band_join_shuffles_only_band_keys(spark):
     assert exchanges, p
     for ln in exchanges:
         assert "signature" not in ln, ln
+
+
+def test_salted_repartition_pins_partition_count(spark):
+    """Regression: repartition(cols) without a count is REPARTITION_BY_COL,
+    which AQE coalesces by shuffle SIZE — a few-MB URL batch folded to 1-2
+    partitions and the per-URL python work downstream ran serially. The
+    salted exchange must keep the requested fan-out."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.operators.politeness import salted_repartition
+    df = spark.range(20_000).select(
+        F.concat(F.lit("https://shop.example.test/p/"),
+                 F.col("id").cast("string")).alias("url"))
+    out = salted_repartition(df, 32)
+    n = out.rdd.getNumPartitions()
+    assert n == spark.sparkContext.defaultParallelism
+    # rows survive and every partition carries a fair share (no 1-partition
+    # collapse): max load ≤ 4x ideal
+    sizes = out.rdd.glom().map(len).collect()
+    assert sum(sizes) == 20_000
+    assert max(sizes) <= 4 * (20_000 // len(sizes))
