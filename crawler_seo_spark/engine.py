@@ -136,19 +136,90 @@ class CrawlEngine:
         AFTER the round result is checkpointed, by anti-joining the batch
         against the found result's urls (two tiny checkpointed inputs — zero
         extra store scans; round 1 streamed the store twice per round).
-        On a real cluster this stage is an HTTP ``mapInPandas`` honoring
-        ``scheduled_offset_ms``; the join is the sandbox's network oracle.
-        In LIVE mode (``pages=None``) the batch goes through the real
-        fetcher and the engine columns are restored with a broadcast join
-        (every url yields exactly one row — errors come back status 0 —
-        so the 404-fill below is a no-op there).
+        LIVE mode (``pages=None``) never reaches here — it runs the fused
+        fetch+analyze ``mapInPandas`` (:meth:`_fused_live_round`) instead.
         """
-        if self.pages is None:
-            from .sources.fetch import fetch_batch, make_http_fetch
-            fetched = fetch_batch(batch,
-                                  self.fetch_fn_factory or make_http_fetch)
-            return fetched.join(F.broadcast(batch), "url", "inner")
         return self.pages.join(F.broadcast(batch), "url", "inner")
+
+    def _fused_live_round(self, batch: DataFrame, max_depth: int,
+                          analyzed_cond_doc: str = "") -> DataFrame:
+        """LIVE-mode fused round stage: fetch + parse/analyze in ONE
+        ``mapInPandas`` — the page html never crosses the Arrow boundary
+        (the unfused form shipped each ~10 KB page python→JVM→python→JVM;
+        at 80k URLs/round that is ~3 GB of extra Arrow+join traffic per
+        round, and memory bandwidth is exactly what does not scale with
+        cores). Output rows are byte-identical to the store-join path
+        (tests/test_politeness_fetch.py::test_live_mode_matches_store_mode).
+        """
+        import hashlib
+
+        from .functions.parse import ANALYSIS_SCHEMA, analyze_page
+        factory = self.fetch_fn_factory
+        if factory is None:
+            from .sources.fetch import make_http_fetch
+            factory = make_http_fetch
+        base_domain = self.base_domain
+        out_schema = T.StructType([
+            T.StructField("crawl_seq", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("priority", T.IntegerType()),
+            T.StructField("round", T.IntegerType()),
+            T.StructField("content_md5", T.StringType()),
+            T.StructField("status_code", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("final_url", T.StringType()),
+            T.StructField("response_time_ms", T.DoubleType()),
+            T.StructField("content_length", T.LongType()),
+            T.StructField("headers",
+                          T.MapType(T.StringType(), T.StringType())),
+            T.StructField("host", T.StringType()),
+            T.StructField("fetch_slot", T.LongType()),
+            T.StructField("scheduled_offset_ms", T.DoubleType()),
+            T.StructField("analysis", ANALYSIS_SCHEMA),
+        ])
+
+        def kernel(batches):
+            import pandas as pd
+            fetch = factory()
+            start = time.monotonic()
+            for pdf in batches:
+                order = pdf.sort_values("scheduled_offset_ms",
+                                        kind="mergesort")
+                rows = []
+                for rec in order.itertuples(index=False):
+                    wait = rec.scheduled_offset_ms / 1000.0 \
+                        - (time.monotonic() - start)
+                    if wait > 0:
+                        time.sleep(wait)
+                    r = fetch(rec.url)
+                    html = r["html"] or ""
+                    analyzed = (r["status_code"] == 200
+                                and "text/html" in r["content_type"].lower())
+                    analysis = None
+                    if analyzed:
+                        analysis = analyze_page(
+                            html, rec.url, base_domain,
+                            want_links=rec.depth < max_depth)
+                    rows.append({
+                        "crawl_seq": rec.crawl_seq, "url": rec.url,
+                        "depth": rec.depth, "priority": rec.priority,
+                        "round": rec.round,
+                        "content_md5":
+                            hashlib.md5(html.encode("utf-8")).hexdigest(),
+                        "status_code": r["status_code"],
+                        "content_type": r["content_type"].split(";")[0],
+                        "final_url": r["final_url"],
+                        "response_time_ms": r["response_time_ms"],
+                        "content_length": r["content_length"],
+                        "headers": r["headers"],
+                        "host": rec.host, "fetch_slot": rec.fetch_slot,
+                        "scheduled_offset_ms": rec.scheduled_offset_ms,
+                        "analysis": analysis,
+                    })
+                yield pd.DataFrame(rows)
+
+        return batch.mapInPandas(kernel, schema=out_schema)
 
     @staticmethod
     def _fill_missing(batch: DataFrame, result_found: DataFrame) -> DataFrame:
@@ -281,29 +352,37 @@ class CrawlEngine:
             # checkpointed; network-404 rows are synthesized afterwards from
             # the two checkpointed sides and appended lazily (narrow ops over
             # pinned inputs — deterministic, no extra materialization job).
-            fetched = self._fetch(batch)
-            analyzed_cond = ((F.col("status_code") == 200)
-                             & F.lower(F.col("content_type")).contains("text/html"))
-            want_links = analyzed_cond & (F.col("depth") < cfg.max_depth)
-            analysis = analysis_column(
-                F.when(analyzed_cond, F.col("html")).otherwise(F.lit("")),
-                F.col("url"), want_links, self.base_domain)
-            result_found = (
-                fetched
-                .withColumn("analysis",
-                            F.when(analyzed_cond, analysis).otherwise(F.lit(None)))
-                # content hash feeds the recrawl cache (reference artifact
-                # cache/<domain>_cache.json — SURVEY §1.4)
-                .withColumn("content_md5", F.md5(F.col("html")))
-                .select("crawl_seq", "url", "depth", "priority", "round",
-                        "content_md5",
-                        "status_code",
-                        F.split(F.col("content_type"), ";").getItem(0)
-                        .alias("content_type"),
-                        "final_url", "response_time_ms", "content_length",
-                        "headers", "host", "fetch_slot", "scheduled_offset_ms",
-                        "analysis")
-            ).localCheckpoint(eager=True)
+            if self.pages is None:
+                # LIVE: fused fetch+parse/analyze — html stays python-side
+                result_found = self._fused_live_round(
+                    batch, cfg.max_depth).localCheckpoint(eager=True)
+            else:
+                fetched = self._fetch(batch)
+                analyzed_cond = ((F.col("status_code") == 200)
+                                 & F.lower(F.col("content_type"))
+                                 .contains("text/html"))
+                want_links = analyzed_cond & (F.col("depth") < cfg.max_depth)
+                analysis = analysis_column(
+                    F.when(analyzed_cond, F.col("html")).otherwise(F.lit("")),
+                    F.col("url"), want_links, self.base_domain)
+                result_found = (
+                    fetched
+                    .withColumn("analysis",
+                                F.when(analyzed_cond, analysis)
+                                .otherwise(F.lit(None)))
+                    # content hash feeds the recrawl cache (reference
+                    # artifact cache/<domain>_cache.json — SURVEY §1.4)
+                    .withColumn("content_md5", F.md5(F.col("html")))
+                    .select("crawl_seq", "url", "depth", "priority", "round",
+                            "content_md5",
+                            "status_code",
+                            F.split(F.col("content_type"), ";").getItem(0)
+                            .alias("content_type"),
+                            "final_url", "response_time_ms", "content_length",
+                            "headers", "host", "fetch_slot",
+                            "scheduled_offset_ms",
+                            "analysis")
+                ).localCheckpoint(eager=True)
             result = result_found.unionByName(
                 self._fill_missing(batch, result_found))
             # P2 plug-in analyzers: column pipelines over the round's result
@@ -358,24 +437,26 @@ class CrawlEngine:
             # per-partition offsets, operators/sequence.py) — a global
             # window would funnel millions of candidates through a single
             # reducer at the 10^10 design point.
-            # the enqueue count rides the checkpoint materialization as an
-            # observed metric — no separate count() job per round.
-            from pyspark.sql import Observation
-            obs = Observation()  # auto-named: unique across rounds/runs
-            new_links = (new_links
-                         .select("url", "parent_seq", "link_pos",
-                                 "parent_depth")
-                         .observe(obs, F.count(F.lit(1)).alias("n"))
-                         .localCheckpoint(eager=True))
-            enqueued = int(obs.get["n"])
             order_cols = [F.asc("parent_seq"), F.asc("link_pos")]
-            if enqueued >= cfg.seq_window_threshold:
-                # JVM-only distributed prefix-sum; pins its own lineage
+            new_links = new_links.select("url", "parent_seq", "link_pos",
+                                         "parent_depth")
+            if batch_count >= cfg.seq_window_threshold:
+                # big-round regime (dequeue size is the cheap proxy for the
+                # candidate count): ONE pinned prefix-sum pass both numbers
+                # the links and yields the enqueue count — no separate
+                # checkpoint or count job.
                 from .operators.sequence import global_sequence
-                numbered = global_sequence(
+                numbered, enqueued = global_sequence(
                     new_links, order_cols, "discovery_seq",
-                    start=next_discovery_seq)
+                    start=next_discovery_seq, with_total=True)
             else:
+                # small rounds: checkpoint + observed count + one-task window
+                from pyspark.sql import Observation
+                obs = Observation()  # auto-named: unique across rounds/runs
+                new_links = (new_links
+                             .observe(obs, F.count(F.lit(1)).alias("n"))
+                             .localCheckpoint(eager=True))
+                enqueued = int(obs.get["n"])
                 seq_w = Window.orderBy(*order_cols)
                 numbered = new_links.withColumn(
                     "discovery_seq",

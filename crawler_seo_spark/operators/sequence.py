@@ -26,12 +26,16 @@ from pyspark.sql import functions as F
 
 def global_sequence(df: DataFrame, order_by: list[Column], out_col: str,
                     start: int = 0,
-                    num_partitions: int | None = None) -> DataFrame:
+                    num_partitions: int | None = None,
+                    with_total: bool = False):
     """Add ``out_col`` = ``start + rank`` of each row in the total order
     defined by ``order_by`` (which must be a unique key of ``df``).
 
     Returns a DataFrame whose lineage is pinned (internally checkpointed) —
     downstream re-evaluation recomputes only the cheap per-partition window.
+    With ``with_total=True`` returns ``(df, row_count)`` — the count is free
+    (it is the sum of the per-partition offsets this pass computes anyway),
+    so callers never need a separate count job or checkpoint.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     arranged = (
@@ -45,8 +49,9 @@ def global_sequence(df: DataFrame, order_by: list[Column], out_col: str,
         for r in arranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
         .collect())
     if not counts:  # empty input: nothing to number
-        return (arranged.drop("_pid")
-                .withColumn(out_col, F.lit(start).cast("long")))
+        empty = (arranged.drop("_pid")
+                 .withColumn(out_col, F.lit(start).cast("long")))
+        return (empty, 0) if with_total else empty
     offsets, acc = {}, start
     for pid, c in counts:
         offsets[pid] = acc
@@ -59,10 +64,11 @@ def global_sequence(df: DataFrame, order_by: list[Column], out_col: str,
             F.col("_pid")),
         F.lit(0))
     w = Window.partitionBy("_pid").orderBy(*order_by)
-    return (arranged
-            .withColumn(out_col,
-                        (F.row_number().over(w) - 1 + off_expr).cast("long"))
-            .drop("_pid"))
+    out = (arranged
+           .withColumn(out_col,
+                       (F.row_number().over(w) - 1 + off_expr).cast("long"))
+           .drop("_pid"))
+    return (out, acc - start) if with_total else out
 
 
 def global_sequence_small(df: DataFrame, order_by: list[Column], out_col: str,
