@@ -130,16 +130,16 @@ def main() -> None:
     # executors by the deterministic origin function; no page store) --------
     from crawler_seo_spark.sources.from_documents import live_fetch_factory
     lcfg = CrawlConfig(seed_url=SEED_URL,
-                       seed_urls=[doc_url(i) for i in range(0, 100_000, 50)],
-                       max_urls=30_000, batch_size=10_000,
+                       seed_urls=[doc_url(i) for i in range(0, 90_000, 3)],
+                       max_urls=60_000, batch_size=30_000,
                        requests_per_second=1e9,
-                       seq_window_threshold=8_000)
+                       seq_window_threshold=20_000)
     t0 = time.monotonic()
     lstate = CrawlEngine(spark, None, lcfg,
-                         fetch_fn_factory=live_fetch_factory(100_000)).run()
+                         fetch_fn_factory=live_fetch_factory(200_000)).run()
     n_live = lstate.crawl_order.count()
     live_s = round(time.monotonic() - t0, 3)
-    timings["crawl_live_30k"] = live_s
+    timings["crawl_live_60k"] = live_s
     extras["crawl_live_urls_per_sec"] = round(n_live / live_s, 2)
     print(f"  live crawl: {n_live} urls in {live_s}s "
           f"({extras['crawl_live_urls_per_sec']}/s)", file=sys.stderr)
