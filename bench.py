@@ -98,6 +98,36 @@ def main() -> None:
     timed("s_ann_lsh_topk",
           lambda: force(lsh_bucketed_topk(emb, queries10, k=5, n_planes=6)))
 
+    # --- image validation throughput (north-rule metric: images validated/s;
+    # generation AND validation both run on the executors) --------------------
+    from crawler_seo_spark.operators.multimodal import validate_images
+    n_img = 4000
+
+    def gen_images(batches):
+        import pandas as pd
+
+        from crawler_seo_spark.sources.images import make_image_row
+        for pdf in batches:
+            yield pd.DataFrame([make_image_row(int(i)) for i in pdf["id"]])
+
+    img_df = (spark.range(n_img).repartition(CPUS)
+              .mapInPandas(gen_images,
+                           schema="image_id string, bytes binary, w int, "
+                                  "h int, fmt string, caption string, "
+                                  "phash long")
+              .localCheckpoint(eager=True))
+    t0 = time.monotonic()
+    validated = validate_images(img_df)
+    n_ok = validated.filter("decode_ok AND pixels_ok AND phash_ok AND "
+                            "caption_ok").count()
+    img_s = round(time.monotonic() - t0, 3)
+    timings["m_validate_images_4k"] = img_s
+    extras["images_validated_per_sec"] = round(n_img / img_s, 2)
+    extras["images_valid_fraction"] = round(n_ok / n_img, 4)
+    print(f"  images: {n_img} validated in {img_s}s "
+          f"({extras['images_validated_per_sec']}/s, {n_ok} fully valid)",
+          file=sys.stderr)
+
     # --- the crawl engine (throughput headline) -------------------------------
     from crawler_seo_spark.config import CrawlConfig
     from crawler_seo_spark.engine import CrawlEngine

@@ -261,9 +261,11 @@ def analyze_mixed_content(doc: HtmlDoc, url: str) -> dict[str, Any]:
     img, script, link, iframe, media(src,poster), <style> url(), style-attr
     url(), form — it determines the resource list order.
 
-    The ``element`` field uses the raw start tag (the reference stringifies
-    the whole bs4 element); presentation-only divergence, noted for parity
-    audits.
+    The ``element`` field carries the raw OUTER source (start tag through
+    matching end tag) for container tags — the reference stringifies the
+    whole bs4 element; we report the original source bytes rather than a
+    bs4 re-serialization (same content, original formatting). Void tags
+    (img, link, source) report the start tag, which IS their whole element.
     """
     out = {
         "mixed_content_resources": [],
@@ -297,7 +299,8 @@ def analyze_mixed_content(doc: HtmlDoc, url: str) -> dict[str, Any]:
     for script in doc.scripts:
         src = script.attr("src").strip()
         if _is_insecure(src):
-            add("script", "script", "src", src, script.raw, "critical")
+            add("script", "script", "src", src,
+                script.outer or script.raw, "critical")
     for link in doc.links:
         href = link.attr("href").strip()
         if href and _is_insecure(href):
@@ -305,23 +308,27 @@ def analyze_mixed_content(doc: HtmlDoc, url: str) -> dict[str, Any]:
     for iframe in doc.iframes:
         src = iframe.attr("src").strip()
         if src and _is_insecure(src):
-            add("iframe", "iframe", "src", src, iframe.raw, "critical")
+            add("iframe", "iframe", "src", src,
+                iframe.outer or iframe.raw, "critical")
     for tag in doc.media:
         for attr in ("src", "poster"):
             if attr in tag.attrs:
                 v = tag.attr(attr).strip()
                 if _is_insecure(v):
-                    add("media", tag.tag, attr, v, tag.raw, "passive")
+                    add("media", tag.tag, attr, v,
+                        tag.outer or tag.raw, "passive")
     for style in doc.style_blocks:
         for match in _CSS_URL_RE.findall(style.text or ""):
-            add("inline-style", "style", "content", match, style.raw, "passive")
+            add("inline-style", "style", "content", match,
+                style.outer or style.raw, "passive")
     for el in doc.styled:
         for match in _CSS_URL_RE.findall(el.attr("style")):
             add("inline-style", el.tag, "style", match, el.raw, "passive")
     for form in doc.forms:
         action = form.attr("action").strip()
         if action and _is_insecure(action):
-            add("form", "form", "action", action, form.raw, "critical")
+            add("form", "form", "action", action,
+                form.outer or form.raw, "critical")
 
     out.update({
         "mixed_content_resources": resources,

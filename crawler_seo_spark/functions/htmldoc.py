@@ -33,9 +33,14 @@ class Element:
 
     tag: str
     attrs: dict[str, str]
-    raw: str  # raw start-tag source, used for the `element` report field
+    raw: str  # raw start-tag source
     pos: int  # 0-based document order among *all* start tags
     text: str = ""
+    # raw OUTER source (start tag through matching end tag) — filled for
+    # container tags the mixed-content report stringifies whole (the
+    # reference uses bs4's str(element), which re-serializes; we report the
+    # original source bytes — same content, original formatting)
+    outer: str = ""
 
     def attr(self, name: str, default: str = "") -> str:
         v = self.attrs.get(name)
@@ -75,6 +80,11 @@ class HtmlDoc:
         return None
 
 
+_CONTAINER_TAGS = frozenset({
+    "script", "iframe", "video", "audio", "object", "embed", "form", "style",
+})
+
+
 class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -85,6 +95,22 @@ class _Extractor(HTMLParser):
         self._title_parts: list[str] | None = None
         self._style_parts: list[str] | None = None
         self._seen_title = False
+        # outer-HTML span tracking (mixed-content `element` field)
+        self._source: str = ""
+        self._line_starts: list[int] | None = None
+        self._open_spans: dict[str, list[tuple[Element, tuple[int, int]]]] = {}
+
+    def _offset(self, linecol: tuple[int, int]) -> int:
+        if self._line_starts is None:  # lazy: one scan, only when needed
+            starts = [0]
+            find = self._source.find
+            i = find("\n")
+            while i != -1:
+                starts.append(i + 1)
+                i = find("\n", i + 1)
+            self._line_starts = starts
+        line, col = linecol
+        return self._line_starts[line - 1] + col
 
     # -- helpers ----------------------------------------------------------
     def _element(self, tag: str, attrs: list[tuple[str, str | None]]) -> Element:
@@ -138,6 +164,8 @@ class _Extractor(HTMLParser):
         elif tag == "style":
             self._style_parts = []
             self.doc.style_blocks.append(el)
+        if tag in _CONTAINER_TAGS:
+            self._open_spans.setdefault(tag, []).append((el, self.getpos()))
         if tag in _VOID_TAGS:
             return
 
@@ -167,6 +195,13 @@ class _Extractor(HTMLParser):
             if self.doc.style_blocks:
                 self.doc.style_blocks[-1].text = "".join(self._style_parts)
             self._style_parts = None
+        if tag in _CONTAINER_TAGS:
+            stack = self._open_spans.get(tag)
+            if stack:
+                el, start = stack.pop()
+                el.outer = (self._source[self._offset(start):
+                                         self._offset(self.getpos())]
+                            + f"</{tag}>")
 
     def handle_data(self, data: str) -> None:
         for _, parts in self._capture:
@@ -180,6 +215,7 @@ class _Extractor(HTMLParser):
 def parse_html(html: str | None) -> HtmlDoc:
     """Parse a page into an :class:`HtmlDoc`. Never raises on bad input."""
     ex = _Extractor()
+    ex._source = html or ""
     try:
         ex.feed(html or "")
         ex.close()

@@ -128,6 +128,31 @@ def run_suite(cores: int) -> dict[str, float]:
             .write.format("noop").mode("overwrite").save()
     timings["w2b_lsh_join"] = best_of(2, w2b)
 
+    # W4: image validation (north-rule metric: images validated/sec) —
+    # executor-side generate + decode/PSNR/phash/caption validation
+    from crawler_seo_spark.operators.multimodal import validate_images
+    n_img = 12_000
+
+    def gen_images(batches):
+        import pandas as pd
+        from crawler_seo_spark.sources.images import make_image_row
+        for pdf in batches:
+            yield pd.DataFrame([make_image_row(int(i)) for i in pdf["id"]])
+
+    img_df = (spark.range(n_img).repartition(4 * cores)
+              .mapInPandas(gen_images,
+                           schema="image_id string, bytes binary, w int, "
+                                  "h int, fmt string, caption string, "
+                                  "phash long")
+              .localCheckpoint(eager=True))
+
+    def w4():
+        validate_images(img_df).filter(
+            "decode_ok AND pixels_ok").write.format("noop") \
+            .mode("overwrite").save()
+    timings["w4_images_validate"] = best_of(2, w4)
+    timings["w4_n_images"] = float(n_img)
+
     # W3: crawl engine rounds, LIVE-fetch mode (production shape: pages
     # materialized per-URL on the executors, zero shared state)
     from crawler_seo_spark.config import CrawlConfig
@@ -278,7 +303,7 @@ def main() -> None:
     r_small = _suite_subprocess(N_SMALL)
     r_big = _suite_subprocess(N_BIG)
     phases = ["w1_parse_analyze", "w2_minhash_sigs", "w2b_lsh_join",
-              "w3_crawl_rounds"]
+              "w4_images_validate", "w3_crawl_rounds"]
     total_s = sum(r_small[p] for p in phases)
     total_b = sum(r_big[p] for p in phases)
     ratio = N_BIG // N_SMALL
@@ -313,6 +338,12 @@ def main() -> None:
             "efficiency": round(
                 (r_big["w3_weak_urls"] / r_big["w3_weak"])
                 / (4 * r_small["w3_weak_urls"] / r_small["w3_weak"]), 3),
+        },
+        "images_validated_per_sec": {
+            f"local[{N_SMALL}]": round(
+                r_small["w4_n_images"] / r_small["w4_images_validate"], 1),
+            f"local[{N_BIG}]": round(
+                r_big["w4_n_images"] / r_big["w4_images_validate"], 1),
         },
         "crawl_steady_state": {
             f"urls_per_sec_local[{N_SMALL}]":

@@ -205,3 +205,29 @@ def test_hidden_heading_detectors():
     for frag, hidden in cases.items():
         h = analyze_headings(parse_html(f"<html><body><h1>t</h1>{frag}</body></html>"))
         assert (h["headings_ocultos_count"] == 1) is hidden, frag
+
+
+def test_mixed_content_element_is_outer_html():
+    """Container elements report their whole outer source (reference
+    stringifies the full bs4 element, status_analyzer.py:134-147); void
+    tags report the start tag; >100 chars truncates with '...'."""
+    html = ('<html><body>'
+            '<iframe src="http://x.test/f.html">inner text</iframe>'
+            '<script src="http://x.test/s.js"></script>'
+            '<img src="http://x.test/i.png">'
+            '<form action="http://x.test/go"><input name="q"></form>'
+            f'<iframe src="http://x.test/long.html">{"y" * 200}</iframe>'
+            '</body></html>')
+    mc = analyze_mixed_content(parse_html(html), "https://test.com/")
+    el = {(r["tag"], r["url"]): r["element"]
+          for r in mc["mixed_content_resources"]}
+    assert el[("iframe", "http://x.test/f.html")] \
+        == '<iframe src="http://x.test/f.html">inner text</iframe>'
+    assert el[("script", "http://x.test/s.js")] \
+        == '<script src="http://x.test/s.js"></script>'
+    assert el[("img", "http://x.test/i.png")] \
+        == '<img src="http://x.test/i.png">'
+    assert el[("form", "http://x.test/go")] \
+        == '<form action="http://x.test/go"><input name="q"></form>'
+    long_el = el[("iframe", "http://x.test/long.html")]
+    assert long_el.endswith("...") and len(long_el) == 103
