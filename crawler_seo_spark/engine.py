@@ -141,8 +141,8 @@ class CrawlEngine:
         """
         return self.pages.join(F.broadcast(batch), "url", "inner")
 
-    def _fused_live_round(self, batch: DataFrame, max_depth: int,
-                          analyzed_cond_doc: str = "") -> DataFrame:
+    def _fused_live_round(self, batch: DataFrame,
+                          max_depth: int) -> DataFrame:
         """LIVE-mode fused round stage: fetch + parse/analyze in ONE
         ``mapInPandas`` — the page html never crosses the Arrow boundary
         (the unfused form shipped each ~10 KB page python→JVM→python→JVM;
@@ -181,17 +181,13 @@ class CrawlEngine:
 
         def kernel(batches):
             import pandas as pd
+
+            from .sources.fetch import paced_rows
             fetch = factory()
             start = time.monotonic()
             for pdf in batches:
-                order = pdf.sort_values("scheduled_offset_ms",
-                                        kind="mergesort")
                 rows = []
-                for rec in order.itertuples(index=False):
-                    wait = rec.scheduled_offset_ms / 1000.0 \
-                        - (time.monotonic() - start)
-                    if wait > 0:
-                        time.sleep(wait)
+                for rec in paced_rows(pdf, start):
                     r = fetch(rec.url)
                     html = r["html"] or ""
                     analyzed = (r["status_code"] == 200
@@ -309,16 +305,20 @@ class CrawlEngine:
                                      (F.col("_rank") + F.lit(results_count))
                                      .cast("long"))
                          .drop("_rank")
-                         .withColumn("round", F.lit(round_id)))
-                # lineage already pinned inside global_sequence; the filter
-                # and projections above are narrow + deterministic
+                         .withColumn("round", F.lit(round_id))
+                         # pin the budget-sized batch: without this, every
+                         # result row keeps a reference to global_sequence's
+                         # FULL-frontier checkpoint (O(rounds × frontier)
+                         # pinned storage) and each consumer re-runs the
+                         # frontier-wide rank window
+                         .localCheckpoint(eager=True))
             else:
                 batch = (frontier.orderBy(*dequeue_order).limit(budget))
                 w = Window.orderBy(*dequeue_order)
                 batch = (batch
                          .withColumn("crawl_seq",
-                                     (F.row_number().over(w) - 1
-                                      + F.lit(results_count)).cast("long"))
+                                     F.row_number().over(w).cast("long") - 1
+                                     + F.lit(results_count).cast("long"))
                          .withColumn("round", F.lit(round_id))
                          .localCheckpoint(eager=True))
             # no count() job: the dequeue takes exactly min(budget, frontier)
@@ -460,8 +460,8 @@ class CrawlEngine:
                 seq_w = Window.orderBy(*order_cols)
                 numbered = new_links.withColumn(
                     "discovery_seq",
-                    (F.row_number().over(seq_w) - 1
-                     + F.lit(next_discovery_seq)).cast("long"))
+                    F.row_number().over(seq_w).cast("long") - 1
+                    + F.lit(next_discovery_seq).cast("long"))
             new_frontier = (
                 numbered
                 .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))

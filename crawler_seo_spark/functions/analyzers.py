@@ -323,7 +323,8 @@ def analyze_mixed_content(doc: HtmlDoc, url: str) -> dict[str, Any]:
                 style.outer or style.raw, "passive")
     for el in doc.styled:
         for match in _CSS_URL_RE.findall(el.attr("style")):
-            add("inline-style", el.tag, "style", match, el.raw, "passive")
+            add("inline-style", el.tag, "style", match,
+                el.outer or el.raw, "passive")
     for form in doc.forms:
         action = form.attr("action").strip()
         if action and _is_insecure(action):

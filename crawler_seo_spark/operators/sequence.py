@@ -56,17 +56,20 @@ def global_sequence(df: DataFrame, order_by: list[Column], out_col: str,
     for pid, c in counts:
         offsets[pid] = acc
         acc += c
+    # offsets and the row_number are added in LONG arithmetic — int32
+    # lit + int32 row_number would wrap (not error: this sum pre-dates the
+    # cast) when a sequence crosses 2^31, which the 10^10 design point does
     off_expr = F.coalesce(
         F.element_at(
             F.map_from_arrays(
                 F.array(*[F.lit(p) for p in offsets]),
-                F.array(*[F.lit(o) for o in offsets.values()])),
+                F.array(*[F.lit(o).cast("long") for o in offsets.values()])),
             F.col("_pid")),
-        F.lit(0))
+        F.lit(0).cast("long"))
     w = Window.partitionBy("_pid").orderBy(*order_by)
     out = (arranged
            .withColumn(out_col,
-                       (F.row_number().over(w) - 1 + off_expr).cast("long"))
+                       F.row_number().over(w).cast("long") - 1 + off_expr)
            .drop("_pid"))
     return (out, acc - start) if with_total else out
 
@@ -77,5 +80,5 @@ def global_sequence_small(df: DataFrame, order_by: list[Column], out_col: str,
     round's batch fits one task comfortably; the window avoids the extra
     repartition pass. Use :func:`global_sequence` for unbounded inputs."""
     w = Window.orderBy(*order_by)
-    num = F.row_number().over(w) - 1 + F.lit(start)
-    return df.withColumn(out_col, num.cast("long"))
+    num = F.row_number().over(w).cast("long") - 1 + F.lit(start).cast("long")
+    return df.withColumn(out_col, num)

@@ -73,11 +73,13 @@ SECURITY_HEADER_FLAGS = {
 def c21_status_fields(rec: dict) -> dict:
     """C21 auxiliary outputs (status_analyzer.py:271-324): present-header
     map (X-XSS-Protection included), >1 MB performance issue, 301/302 +
-    non-HTML SEO status issues — reference strings verbatim."""
+    non-HTML SEO status issues — reference strings verbatim. Header names
+    match case-insensitively (requests' dict is case-insensitive; live
+    servers send lowercase), output keys keep the canonical spellings."""
     from .config import SECURITY_HEADERS
-    headers = rec.get("headers", {})
+    headers = {k.lower(): v for k, v in rec.get("headers", {}).items()}
     perf = []
-    cl = headers.get("Content-Length")
+    cl = headers.get("content-length")
     if cl and int(cl) > 1024 * 1024:
         perf.append(f"Página muito grande ({cl} bytes)")
     seo = []
@@ -86,8 +88,8 @@ def c21_status_fields(rec: dict) -> dict:
     if "text/html" not in (rec.get("content_type") or "").lower():
         seo.append("Content-Type não é HTML")
     return {
-        "Security_Headers": {k: headers[k] for k in SECURITY_HEADERS
-                             if headers.get(k)},
+        "Security_Headers": {k: headers[k.lower()] for k in SECURITY_HEADERS
+                             if headers.get(k.lower())},
         "Performance_Issues": " | ".join(perf),
         "SEO_Status_Issues": " | ".join(seo),
     }
@@ -276,8 +278,9 @@ def analyze_page_oracle(rec: dict, url: str, titles: _DupTracker,
         warns.append(f"Description {desc_status.lower()}")
 
     status_warns = _status_warnings(rec["status_code"], url, rec["final_url"])
-    headers = rec.get("headers", {})
-    flags = {k: bool(headers.get(v)) for k, v in SECURITY_HEADER_FLAGS.items()}
+    headers = {k.lower(): v for k, v in rec.get("headers", {}).items()}
+    flags = {k: bool(headers.get(v.lower()))
+             for k, v in SECURITY_HEADER_FLAGS.items()}
     missing = sum(1 for v in flags.values() if not v)
     risk_score = min((mc["critical_mixed_count"] * 2 + mc["passive_mixed_count"]
                       + missing * 3) * 10, 100)

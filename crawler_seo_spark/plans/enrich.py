@@ -200,22 +200,30 @@ def enrich_results(results: DataFrame) -> DataFrame:
         F.transform(crit, lambda c: F.concat(F.lit("CRÍTICO: "), c)))
 
     # --- C21/C22 security headers + risk -------------------------------------
-    hdr = F.col("headers")
-    flags = {name: hdr.getItem(name).isNotNull() & (hdr.getItem(name) != "")
+    # Header names are matched case-insensitively: live HTTP servers send
+    # lowercase names (mandatory on HTTP/2), and the reference reads them
+    # through requests' case-insensitive dict. Lowercase the map keys once;
+    # the Security_Headers OUTPUT keeps the canonical spellings.
+    hdr = F.map_from_entries(F.transform(
+        F.map_entries(F.col("headers")),
+        lambda e: F.struct(F.lower(e["key"]).alias("key"),
+                           e["value"].alias("value"))))
+    flags = {name: hdr.getItem(name.lower()).isNotNull()
+             & (hdr.getItem(name.lower()) != "")
              for name in SECURITY_HEADERS}
     # C21 full outputs (status_analyzer.py:271-324): present-header map
     # (X-XSS-Protection included), >1 MB performance issue, 301/302 +
     # non-HTML SEO status issues — reference message strings verbatim.
     security_headers_map = F.map_from_entries(F.filter(
         F.array(*[F.struct(F.lit(n).alias("key"),
-                           hdr.getItem(n).alias("value"))
+                           hdr.getItem(n.lower()).alias("value"))
                   for n in SECURITY_HEADERS]),
         lambda e: e["value"].isNotNull() & (e["value"] != "")))
-    content_length_hdr = hdr.getItem("Content-Length").cast("long")
+    content_length_hdr = hdr.getItem("content-length").cast("long")
     performance_issues = F.filter(F.array(
         F.when(content_length_hdr > 1024 * 1024,
                F.concat(F.lit("Página muito grande ("),
-                        hdr.getItem("Content-Length"), F.lit(" bytes)")))),
+                        hdr.getItem("content-length"), F.lit(" bytes)")))),
         lambda x: x.isNotNull())
     seo_status_issues = F.filter(F.array(
         F.when(F.col("status_code").isin(301, 302),

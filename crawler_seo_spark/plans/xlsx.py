@@ -22,8 +22,13 @@ sink in :mod:`crawler_seo_spark.plans.reports`).
 
 from __future__ import annotations
 
+import re
 import zipfile
 from xml.sax.saxutils import escape
+
+# XML 1.0 cannot represent these control chars at all (even escaped) —
+# strip them so a stray byte in crawled content can't corrupt the workbook
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 _XMLNS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _RELNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -51,7 +56,7 @@ def _cell(col: int, row: int, value) -> str:
         if isinstance(value, float) and (value != value):  # NaN
             return ""
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    text = escape(str(value)).replace("\r", "")
+    text = escape(_XML_INVALID.sub("", str(value))).replace("\r", "")
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 

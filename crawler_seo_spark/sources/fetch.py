@@ -32,6 +32,25 @@ FETCH_SCHEMA = ("url string, status_code int, content_type string, "
 FetchFn = Callable[[str], dict]
 
 
+def paced_rows(pdf: pd.DataFrame, start: float, honor_schedule: bool = True):
+    """Yield an Arrow batch's rows in politeness-schedule order, sleeping
+    until each row's ``scheduled_offset_ms`` relative to ``start``.
+
+    THE single definition of the pacing contract — both fetch stages
+    (the standalone :func:`fetch_batch` and the engine's fused live round)
+    iterate through this, so the per-host rate guarantee cannot drift
+    between them. The mergesort keeps ties in batch order (deterministic).
+    """
+    order = pdf.sort_values("scheduled_offset_ms", kind="mergesort")
+    for rec in order.itertuples(index=False):
+        if honor_schedule:
+            wait = rec.scheduled_offset_ms / 1000.0 \
+                - (time.monotonic() - start)
+            if wait > 0:
+                time.sleep(wait)
+        yield rec
+
+
 def make_http_fetch(timeout: float = 15.0, retries: int = 3,
                     pool: int = 20) -> FetchFn:
     """Real HTTP fetcher factory (reference session defaults). Built lazily
@@ -86,13 +105,7 @@ def fetch_batch(batch: DataFrame,
         start = time.monotonic()
         for pdf in batches:
             rows = []
-            order = pdf.sort_values("scheduled_offset_ms", kind="mergesort")
-            for rec in order.itertuples(index=False):
-                if honor_schedule:
-                    wait = rec.scheduled_offset_ms / 1000.0 \
-                        - (time.monotonic() - start)
-                    if wait > 0:
-                        time.sleep(wait)
+            for rec in paced_rows(pdf, start, honor_schedule):
                 out = fetch(rec.url)
                 rows.append({"url": rec.url, **out})
             yield pd.DataFrame(rows)

@@ -153,3 +153,30 @@ def test_write_report_counts_single_pass(runs, tmp_path):
     for name in ALL_TABS:
         on_disk = spark.read.parquet(str(tmp_path / "rep" / name)).count()
         assert counts[name] == on_disk, name
+
+
+def test_security_headers_case_insensitive(spark, pages_df):
+    """Live HTTP servers send lowercase header names (mandatory on HTTP/2);
+    the C21 fields must match them like requests' case-insensitive dict —
+    and emit canonical spellings in the output map."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=6, batch_size=6)
+    state = CrawlEngine(spark, pages_df, cfg).run()
+    lowered = state.results.withColumn(
+        "headers", F.map_from_entries(F.transform(
+            F.map_entries("headers"),
+            lambda e: F.struct(F.lower(e["key"]).alias("key"),
+                               e["value"].alias("value")))))
+    w_orig = {r["URL"]: r for r in enrich_results(state.results).collect()}
+    w_low = {r["URL"]: r for r in enrich_results(lowered).collect()}
+    assert any(w_orig[u]["Security_Headers"] for u in w_orig)
+    for u in w_orig:
+        assert dict(w_low[u]["Security_Headers"]) \
+            == dict(w_orig[u]["Security_Headers"])
+        assert w_low[u]["hsts_present"] == w_orig[u]["hsts_present"]
+        assert w_low[u]["Performance_Issues"] \
+            == w_orig[u]["Performance_Issues"]
+        assert w_low[u]["Risk_Score"] == w_orig[u]["Risk_Score"]
