@@ -120,3 +120,24 @@ def test_salted_repartition_pins_partition_count(spark):
     sizes = out.rdd.glom().map(len).collect()
     assert sum(sizes) == 20_000
     assert max(sizes) <= 4 * (20_000 // len(sizes))
+
+
+def test_sequence_no_int32_wrap(spark):
+    """Sequence numbering must stay exact across the 2^31 boundary — the
+    offsets and row_number are added in LONG arithmetic (an int32 sum
+    wrapped negative before the cast)."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.operators.sequence import (
+        global_sequence,
+        global_sequence_small,
+    )
+    start = 2**31 - 3
+    df = spark.range(10).select(F.col("id").alias("k"))
+    big, total = global_sequence(df, [F.asc("k")], "seq", start=start,
+                                 with_total=True)
+    vals = [r["seq"] for r in big.orderBy("k").collect()]
+    assert vals == list(range(start, start + 10)) and total == 10
+    small = global_sequence_small(df, [F.asc("k")], "seq", start=start)
+    assert [r["seq"] for r in small.orderBy("k").collect()] \
+        == list(range(start, start + 10))
