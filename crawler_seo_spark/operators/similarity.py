@@ -120,17 +120,25 @@ def ivf_assign(corpus: DataFrame, n_lists: int = 16,
              .limit(n_lists)
              .select(vec_col).collect()]
     cents = [[float(x) for x in c] for c in cents]
+    return ivf_assign_with(corpus, cents, vec_col), cents
+
+
+def ivf_assign_with(corpus: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest of the GIVEN centroids (cosine;
+    first index wins ties). Split out of :func:`ivf_assign` so callers with
+    externally chosen centroids (tests, the SQL-oracle query) share the
+    assignment plan."""
     dists = F.array(*[
         _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
         / (F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))  # zero-vector safe
            * float(np.sqrt(sum(x * x for x in c)) or 1.0))
-        for c in cents])
+        for c in centroids])
     best = (F.array_position(F.col("_ivf_dists"),
                              F.array_max(F.col("_ivf_dists"))) - 1)
-    assigned = (corpus.withColumn("_ivf_dists", dists)
-                .withColumn("ivf_list", best.cast("int"))
-                .drop("_ivf_dists"))
-    return assigned, cents
+    return (corpus.withColumn("_ivf_dists", dists)
+            .withColumn("ivf_list", best.cast("int"))
+            .drop("_ivf_dists"))
 
 
 def ivf_topk(assigned: DataFrame, centroids: list[list[float]],

@@ -1028,6 +1028,36 @@ def _phash_table(spark, sf_dir):
         assembled.bitwiseXOR(noise).cast("long").alias("phash"))
 
 
+@q("s_ivf_assign", """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 4),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         list_dot_product(ev, cv)
+         / (greatest(sqrt(list_dot_product(ev, ev)), 1e-12)
+            * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM v CROSS JOIN c)
+SELECT vec_id, cid::INT AS ivf_list FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid ASC) AS rn
+  FROM scored) WHERE rn = 1
+""")
+def s_ivf_assign(spark, sf_dir):
+    """IVF list assignment with EXPLICIT centroids (the first 4 vectors) so
+    DuckDB can reproduce the argmax independently: dot/norm math runs in
+    double on both engines, ties break to the first centroid index.
+    Completes the IVF operator's oracle coverage (centroid SAMPLING stays
+    pytest-proven — its hash order is engine-specific by design)."""
+    from ..operators.similarity import ivf_assign_with
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [[float(x) for x in r[0]] for r in
+             emb.filter("vec_id < 4").orderBy("vec_id")
+             .select("embedding").collect()]
+    return ivf_assign_with(emb, cents).select("vec_id", "ivf_list")
+
+
 @q("m_validate_images")
 def m_validate_images(spark, sf_dir):
     """Image+caption payload validation (input_hint invariant): decode,
