@@ -58,3 +58,13 @@ def recrawl_frontier(changes: DataFrame) -> DataFrame:
                     F.when(F.col("change_status") == "CHANGED", 1)
                     .otherwise(0).alias("priority"))
             .orderBy(F.desc("priority"), "url"))
+
+
+def invalidate_seen(cuckoo, changes: DataFrame) -> int:
+    """Recrawl ∘ seen-filter integration: delete CHANGED/GONE urls from the
+    deletable seen filter (operators/cuckoo.ShardedCuckoo) so the next crawl
+    admits them again — the capability the Bloom filter cannot provide
+    (it never forgets). Returns how many fingerprints were removed."""
+    stale = changes.filter(
+        F.col("change_status").isin("CHANGED", "GONE")).select("url")
+    return cuckoo.delete_urls(stale)

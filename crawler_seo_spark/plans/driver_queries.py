@@ -301,6 +301,33 @@ def j1_bloom_pruned_anti_join(spark, sf_dir):
     return bloom.prune_new(cand, seen).select("url")
 
 
+@q("j1_cuckoo_pruned_anti_join", f"""
+WITH cand AS (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL})
+              WHERE doc_id % 8 NOT IN (6, 7)),
+seen AS (SELECT url FROM cand WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0)
+SELECT url FROM cand WHERE url NOT IN (SELECT url FROM seen)
+""")
+def j1_cuckoo_pruned_anti_join(spark, sf_dir):
+    """J1 with the DELETABLE cuckoo prefilter: insert the seen set, then
+    DELETE the recrawl-invalidated subset (doc_id % 5 = 0) — the filter must
+    re-admit exactly those urls, and the prune must still equal the plain
+    anti-join against the post-invalidation seen table (false positives
+    only cost probes; deletions restore admission; never a false negative).
+    """
+    from ..functions.urlnorm import filter_reason_col
+    from ..operators.cuckoo import ShardedCuckoo
+    cand = (_canonical_urls(spark, sf_dir)
+            .filter(filter_reason_col(F.col("url")).isNull())
+            .select("doc_id", "url"))
+    inserted = cand.filter(F.col("doc_id") % 3 == 0)
+    invalidated = inserted.filter(F.col("doc_id") % 5 == 0).select("url")
+    seen = inserted.filter(F.col("doc_id") % 5 != 0).select("url")
+    ck = ShardedCuckoo(n_shards=8, buckets_per_shard=1 << 12)
+    ck.add_urls(inserted.select("url"))
+    ck.delete_urls(invalidated)
+    return ck.prune_new(cand, seen).select("url")
+
+
 @q("j2_frontier_merge", f"""
 WITH u AS (SELECT doc_id, expected_canonical AS url FROM ({_URL_KINDS_SQL})
            WHERE doc_id % 8 NOT IN (6, 7)),
