@@ -161,6 +161,10 @@ class CrawlConfig:
     bloom_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20
     bloom_num_hashes: int = 5
+    # "bloom" (append-only, smallest state) or "cuckoo" (supports DELETE —
+    # required when recrawl invalidation must re-admit changed urls)
+    seen_filter: str = "bloom"
+    cuckoo_buckets_per_shard: int = 1 << 15
     # Engage the Bloom prefilter only once the seen set is large enough
     # that the prune pays for its build/probe jobs; below this the exact
     # anti-join alone is cheaper. 0 = always on (tests).

@@ -87,9 +87,15 @@ class CrawlEngine:
         self.config = config
         self.analyzers = analyzers or []
         self.base_domain = base_domain_of(config.seed_url)
-        self.bloom = ShardedBloom(config.bloom_shards,
-                                  config.bloom_bits_per_shard,
-                                  config.bloom_num_hashes)
+        if config.seen_filter == "cuckoo":
+            # deletable variant (recrawl invalidation); same prune contract
+            from .operators.cuckoo import ShardedCuckoo
+            self.bloom = ShardedCuckoo(config.bloom_shards,
+                                       config.cuckoo_buckets_per_shard)
+        else:
+            self.bloom = ShardedBloom(config.bloom_shards,
+                                      config.bloom_bits_per_shard,
+                                      config.bloom_num_hashes)
         self.robots = (robots_table(spark, robots_rules)
                        if robots_rules else None)
         self.store = (SnapshotStore(config.checkpoint_dir)

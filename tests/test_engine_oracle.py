@@ -92,6 +92,22 @@ def test_bloom_path_exact(spark, small_site, pages_df):
     assert {r["url"] for r in engine.seen.collect()} == oracle.seen_urls
 
 
+def test_cuckoo_filter_path_exact(spark, small_site, pages_df):
+    """seen_filter="cuckoo": the deletable filter must reproduce the exact
+    crawl too (same prune contract as Bloom — misses bypass, maybes get the
+    exact anti-join)."""
+    oracle, engine = _run_both(spark, small_site, pages_df,
+                               max_urls=80, batch_size=20, smart=True,
+                               bloom_min_seen=0, bloom_shards=8,
+                               seen_filter="cuckoo",
+                               cuckoo_buckets_per_shard=1 << 11)
+    assert any(r["bloom_active"] for r in engine.rounds)
+    got = [r["url"] for r in engine.crawl_order.orderBy("crawl_seq").collect()]
+    want = [r["url"] for r in oracle.crawl_order][:80]
+    assert got == want
+    assert {r["url"] for r in engine.seen.collect()} == oracle.seen_urls
+
+
 def test_distributed_sequence_exact(spark, small_site, pages_df):
     """seq_window_threshold=0 forces the distributed prefix-sum sequence
     assignment on every round — crawl order must stay exact."""
