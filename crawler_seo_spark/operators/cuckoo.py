@@ -129,7 +129,20 @@ class ShardedCuckoo:
 
     def delete_urls(self, df: DataFrame, url_col: str = "url") -> int:
         """Remove one stored copy of each url's fingerprint (recrawl
-        invalidation). Returns how many were found and removed."""
+        invalidation). Returns how many were found and removed.
+
+        PRECONDITION (standard cuckoo-filter delete semantics): every url
+        in ``df`` must have been previously inserted and not yet deleted.
+        Deleting a never-inserted url can remove ANOTHER url's colliding
+        fingerprint from a shared bucket pair — a false negative (duplicate
+        crawl). The engine's only caller, ``recrawl.invalidate_seen``,
+        satisfies this by construction (CHANGED/GONE statuses imply the url
+        was in the previous crawl's cache). Residual caveat even under the
+        precondition: if two inserted urls share a 16-bit fingerprint AND a
+        bucket pair (odds ≈ occupied_slots / (buckets·2^16) per delete),
+        the survivor's copy is the one removed — the invalidated url then
+        still probes maybe-seen and its recrawl is silently skipped until
+        the next invalidation; exactness of prune_new is unaffected."""
         rows = (self.with_hashes(df.select(url_col), url_col)
                 .select("_ch1", "_ch2").collect())
         removed = 0

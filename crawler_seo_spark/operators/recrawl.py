@@ -64,7 +64,13 @@ def invalidate_seen(cuckoo, changes: DataFrame) -> int:
     """Recrawl ∘ seen-filter integration: delete CHANGED/GONE urls from the
     deletable seen filter (operators/cuckoo.ShardedCuckoo) so the next crawl
     admits them again — the capability the Bloom filter cannot provide
-    (it never forgets). Returns how many fingerprints were removed."""
+    (it never forgets). Returns how many fingerprints were removed.
+
+    Satisfies ``delete_urls``'s inserted-only precondition by construction:
+    CHANGED and GONE both require ``old_md5`` non-null (detect_changes), so
+    every deleted url was in the previous crawl's cache — i.e. previously
+    registered in the seen filter. Never feed this function urls from any
+    other source."""
     stale = changes.filter(
         F.col("change_status").isin("CHANGED", "GONE")).select("url")
     return cuckoo.delete_urls(stale)

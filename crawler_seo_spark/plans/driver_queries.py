@@ -979,14 +979,16 @@ def crawl_bfs_documents(spark, sf_dir):
 
 _PHASH_SQL = """
 SELECT doc_id AS image_id,
-       xor(((((doc_id - doc_id % 4) * 48271) % 65536)
-            | ((((doc_id - doc_id % 4) * 69621) % 65536) << 16))
-           | (((((doc_id - doc_id % 4) * 16807) % 65536) << 32)
-              | ((((doc_id - doc_id % 4) * 40503) % 32768) << 48)),
+       xor((xor(((base * 48271) % 65536), ((hi * 20011) % 65536))
+            | (xor(((base * 69621) % 65536), ((hi * 30011) % 65536)) << 16))
+           | ((xor(((base * 16807) % 65536), ((hi * 25013) % 65536)) << 32)
+              | (xor(((base * 40503) % 32768), ((hi * 15013) % 32768)) << 48)),
            CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
                            WHEN 2 THEN 2 ELSE 1099511627776 END)::BIGINT
        AS phash
-FROM documents
+FROM (SELECT doc_id, (doc_id - doc_id % 4) AS base,
+             ((doc_id - doc_id % 4) >> 16) AS hi
+      FROM documents)
 """
 
 
@@ -1039,13 +1041,28 @@ def d_dedup_groups(spark, sf_dir):
 
 
 def _phash_table(spark, sf_dir):
-    """The derived image-table phash column (shared by m_phash_near_dup)."""
+    """The derived image-table phash column (shared by m_phash_near_dup).
+
+    Each 16-bit chunk mixes the group base's HIGH bits (``base >> 16``,
+    odd multipliers, xor) into the low-16-bit residue: without the mix the
+    chunks are periodic in base with period 65536, so two groups whose
+    bases differ by 65536k would share all four band keys and hamming-0
+    phashes — silently merging components once the documents table passes
+    65536 rows. With the mix, bases differing in the high bits disagree in
+    EVERY band (odd multiplier ⇒ invertible mod 2^16), and bases differing
+    in the low bits already disagree in bands 0-2; the nearest cross-group
+    pair (Δbase = 32768, band 3 shared) sits at hamming 3 > the
+    max_hamming=2 cut. Collision-free for doc_id < 2^31."""
     base = F.col("doc_id") - F.col("doc_id") % 4
+    hi = F.shiftright(base, 16)
     assembled = (
-        ((base * 48271) % 65536)
-        .bitwiseOR(F.shiftleft((base * 69621) % 65536, 16))
-        .bitwiseOR(F.shiftleft((base * 16807) % 65536, 32))
-        .bitwiseOR(F.shiftleft((base * 40503) % 32768, 48)))
+        ((base * 48271) % 65536).bitwiseXOR((hi * 20011) % 65536)
+        .bitwiseOR(F.shiftleft(
+            ((base * 69621) % 65536).bitwiseXOR((hi * 30011) % 65536), 16))
+        .bitwiseOR(F.shiftleft(
+            ((base * 16807) % 65536).bitwiseXOR((hi * 25013) % 65536), 32))
+        .bitwiseOR(F.shiftleft(
+            ((base * 40503) % 32768).bitwiseXOR((hi * 15013) % 32768), 48)))
     noise = (F.when(F.col("doc_id") % 4 == 0, 0)
              .when(F.col("doc_id") % 4 == 1, 1)
              .when(F.col("doc_id") % 4 == 2, 2)

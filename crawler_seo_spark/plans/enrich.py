@@ -204,10 +204,20 @@ def enrich_results(results: DataFrame) -> DataFrame:
     # lowercase names (mandatory on HTTP/2), and the reference reads them
     # through requests' case-insensitive dict. Lowercase the map keys once;
     # the Security_Headers OUTPUT keeps the canonical spellings.
-    hdr = F.map_from_entries(F.transform(
+    # Lowercasing can COLLIDE keys ("X-Foo" + "x-foo" in a raw/proxied header
+    # dict) and map_from_entries throws on duplicates under the default
+    # mapKeyDedupPolicy=EXCEPTION — dedupe to last-wins first (requests'
+    # CaseInsensitiveDict assignment semantics): reverse, keep the first
+    # occurrence per key. Headers arrays are ~10 entries, so the per-element
+    # array_position re-evaluation inside the lambda is noise.
+    _rev_entries = F.reverse(F.transform(
         F.map_entries(F.col("headers")),
         lambda e: F.struct(F.lower(e["key"]).alias("key"),
                            e["value"].alias("value"))))
+    _rev_keys = F.transform(_rev_entries, lambda e: e["key"])
+    hdr = F.map_from_entries(F.filter(
+        _rev_entries,
+        lambda e, i: (F.array_position(_rev_keys, e["key"]) - 1) == i))
     flags = {name: hdr.getItem(name.lower()).isNotNull()
              & (hdr.getItem(name.lower()) != "")
              for name in SECURITY_HEADERS}

@@ -22,6 +22,7 @@ sink in :mod:`crawler_seo_spark.plans.reports`).
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from xml.sax.saxutils import escape
@@ -53,7 +54,9 @@ def _cell(col: int, row: int, value) -> str:
     if isinstance(value, bool):  # before int: bool is an int subclass
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        if isinstance(value, float) and (value != value):  # NaN
+        # NaN/±inf have no OOXML numeric representation (<v>inf</v> corrupts
+        # the cell for Excel readers) — emit an empty cell for all of them
+        if isinstance(value, float) and not math.isfinite(value):
             return ""
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     text = escape(_XML_INVALID.sub("", str(value))).replace("\r", "")

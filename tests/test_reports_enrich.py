@@ -180,3 +180,43 @@ def test_security_headers_case_insensitive(spark, pages_df):
         assert w_low[u]["Performance_Issues"] \
             == w_orig[u]["Performance_Issues"]
         assert w_low[u]["Risk_Score"] == w_orig[u]["Risk_Score"]
+
+
+def test_case_colliding_headers_last_wins(spark, pages_df):
+    """A raw/proxied header dict CAN contain two keys differing only by
+    case; lowercasing must not blow up map_from_entries (default
+    mapKeyDedupPolicy=EXCEPTION) — the later entry wins, like assignment
+    into requests' CaseInsensitiveDict."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=3, batch_size=3)
+    state = CrawlEngine(spark, pages_df, cfg).run()
+    collided = state.results.withColumn(
+        "headers",
+        F.create_map(
+            F.lit("X-Frame-Options"), F.lit("DENY"),
+            F.lit("x-frame-options"), F.lit("SAMEORIGIN"),
+            F.lit("Strict-Transport-Security"), F.lit("max-age=31536000")))
+    rows = enrich_results(collided).collect()  # must not throw
+    for r in rows:
+        assert dict(r["Security_Headers"])["X-Frame-Options"] == "SAMEORIGIN"
+        assert r["hsts_present"] is True
+
+
+def test_xlsx_nonfinite_floats_empty_cells(tmp_path):
+    """inf/-inf/NaN have no OOXML numeric form — they must become empty
+    cells, never '<v>inf</v>' (corrupts the workbook for Excel readers)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from crawler_seo_spark.plans.xlsx import write_workbook
+    path = str(tmp_path / "inf.xlsx")
+    write_workbook(path, [("t", ["a", "b"],
+                           [(float("inf"), 1.5), (float("-inf"), float("nan"))])])
+    with zipfile.ZipFile(path) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+        ET.fromstring(xml)
+        assert "inf" not in xml and "nan" not in xml
+        assert "1.5" in xml
