@@ -24,6 +24,7 @@ link position on the page) within each round — never from
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -87,15 +88,22 @@ class CrawlEngine:
         self.config = config
         self.analyzers = analyzers or []
         self.base_domain = base_domain_of(config.seed_url)
+        # Seen-filter shard state rides the checkpoint dir: resume reopens
+        # the same file-backed shards (and skips the seen backfill); without
+        # checkpointing the filters use a private temp dir.
+        filter_dir = (os.path.join(config.checkpoint_dir, "seen_filter")
+                      if config.checkpoint_dir else None)
         if config.seen_filter == "cuckoo":
             # deletable variant (recrawl invalidation); same prune contract
             from .operators.cuckoo import ShardedCuckoo
             self.bloom = ShardedCuckoo(config.bloom_shards,
-                                       config.cuckoo_buckets_per_shard)
+                                       config.cuckoo_buckets_per_shard,
+                                       state_dir=filter_dir)
         else:
             self.bloom = ShardedBloom(config.bloom_shards,
                                       config.bloom_bits_per_shard,
-                                      config.bloom_num_hashes)
+                                      config.bloom_num_hashes,
+                                      state_dir=filter_dir)
         self.robots = (robots_table(spark, robots_rules)
                        if robots_rules else None)
         self.store = (SnapshotStore(config.checkpoint_dir)
@@ -426,7 +434,14 @@ class CrawlEngine:
             # anti-join, so it stays cold (exactness is identical either
             # way — the prune only bypasses join probes).
             if not bloom_active and seen_count >= cfg.bloom_min_seen:
-                self.bloom.add_urls(seen.select("url"))  # backfill once
+                # backfill once — unless the reopened file-backed filter
+                # already carries state (resume path). A crash between the
+                # filter write and the round commit can leave the replayed
+                # round's urls pre-inserted: harmless (Bloom OR is
+                # idempotent; a cuckoo duplicate costs one slot and keeps
+                # prune exactness — false negatives remain impossible).
+                if self.bloom.n_inserted == 0:
+                    self.bloom.add_urls(seen.select("url"))
                 bloom_active = True
             if bloom_active:
                 new_links = self.bloom.prune_new(candidates, seen)

@@ -1,4 +1,5 @@
-"""Sharded, round-incremental Bloom filter for the URL-seen set.
+"""Sharded, round-incremental Bloom filter for the URL-seen set —
+file-backed shard state, ZERO filter bytes resident on the driver.
 
 At 10^10-URL frontier scale the exact seen-set anti-join (J1) would scan and
 shuffle the full seen table for every candidate batch. The Bloom prefilter
@@ -16,18 +17,19 @@ Design (north-star construction, from public Bloom-filter practice):
 * the bit array is SHARDED by ``h1 mod n_shards``: each shard is built
   independently by an Arrow-batched ``applyInPandas`` over its hash group,
   giving fully parallel builds and bounded per-task memory;
-* per-round INCREMENTAL merge: new-URL shard bitmaps are OR'd into the
-  persistent shard set (bitwise OR of numpy arrays — associative, so shard
-  updates parallelize; kept driver-side here, executor/object-store state on
-  a real cluster);
-* the probe side holds ONE broadcast PER SHARD and re-broadcasts only the
-  shards whose bitmap actually changed since the last probe (a no-op round
-  ships zero bytes); unchanged shards stay cached on the executors. The
-  membership test is a vectorized pandas UDF that groups each Arrow batch
-  by shard and touches only the shard bitmaps present in the batch — per
-  task, memory is O(shards-in-batch), not O(total bloom state).
-  ``stats()`` reports the per-round changed-shard count and rebroadcast
-  bytes so the bounded-traffic claim is testable.
+* shard state lives in versioned files (operators/shardstate.py), NOT on
+  the driver: the build task that owns a shard group loads the current
+  shard file, ORs its delta in, and atomically publishes the next version.
+  The driver receives only ``(shard, n, changed)`` accounting rows and
+  keeps the O(n_shards) version vector — at FPR<1% and 10^10 URLs the
+  bitmaps total ~12 GiB, which round 2 still parked in driver memory;
+* probes load shard bitmaps lazily on the workers through a per-process
+  cache keyed by shard: a version bump invalidates exactly that shard, so
+  per probe round each worker (re)reads only the shards that changed —
+  the same bounded-traffic lifecycle as the round-2 changed-shard-only
+  re-broadcast, now with no driver copy and no Broadcast object churn.
+  ``stats()`` reports the per-round changed-shard count and reload bytes
+  so the bounded-traffic claim stays testable.
 
 Shard routing uses the SAME function on both sides — Spark's signed
 ``pmod(h1, n_shards)`` at build, numpy's Python-semantics ``%`` on the
@@ -40,37 +42,60 @@ twice). Regression-tested in tests/test_bloom.py with n_shards=30.
 Sizing: with m bits per shard, n insertions per shard, k hashes, FPR ≈
 (1 − e^{−kn/m})^k; defaults (1 MiB·8 bits × 32 shards, k=5) hold FPR < 1%
 up to ~3·10^7 URLs per shard.
+
+Deployment note: tasks mutate and read the state dir directly, so it must
+be storage every executor can reach — on a cluster that is the object
+store / DFS next to the checkpoint dir (single-object PUT is the atomic
+publish there); in local mode any directory works. The engine points it
+inside ``checkpoint_dir`` so resume reopens the same filter state and
+skips the seen-set backfill.
 """
 
 from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .shardstate import ShardMeta
+
 _SEED1 = 0x5EED_1001
 _SEED2 = 0x5EED_2002
 
 
 class ShardedBloom:
-    """Driver-held shard bitmaps + Spark-side build/probe plans."""
+    """File-backed shard bitmaps + Spark-side build/probe plans."""
 
     def __init__(self, n_shards: int = 32, bits_per_shard: int = 1 << 23,
-                 num_hashes: int = 5) -> None:
+                 num_hashes: int = 5, state_dir: str | None = None) -> None:
         assert bits_per_shard % 64 == 0
         self.n_shards = n_shards
         self.bits = bits_per_shard
         self.k = num_hashes
-        self.shards = np.zeros((n_shards, bits_per_shard // 64), dtype=np.uint64)
-        self.n_inserted = 0
-        # per-shard broadcast lifecycle: handle + dirty set + traffic meters
-        self._bc: list = [None] * n_shards
-        self._dirty: set[int] = set(range(n_shards))  # nothing shipped yet
+        if state_dir is None:
+            state_dir = tempfile.mkdtemp(prefix="bloom-state-")
+            atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+        self.meta = ShardMeta(state_dir, n_shards)
+        self.n_inserted = int(self.meta.counters.get("n_inserted", 0))
+        # per-shard reload lifecycle: dirty set + traffic meters
+        self._dirty: set[int] = set()
         self.last_changed_shards = 0
         self.last_rebroadcast_bytes = 0
         self.total_rebroadcast_bytes = 0
         self.probe_rounds = 0
+
+    @property
+    def state_dir(self) -> str:
+        return self.meta.state_dir
+
+    @property
+    def shard_nbytes(self) -> int:
+        return self.bits // 8
 
     # -- hash columns (JVM-side) -------------------------------------------
     @staticmethod
@@ -99,61 +124,64 @@ class ShardedBloom:
 
     # -- build / merge -------------------------------------------------------
     def add_urls(self, df: DataFrame, url_col: str = "url") -> None:
-        """OR the URLs of ``df`` into the shard bitmaps.
+        """OR the URLs of ``df`` into the shard bitmap files.
 
-        The per-shard bitmap build runs distributed (one Arrow group per
-        shard); the driver only receives ``n_shards`` bitmaps to OR — the
-        merge is associative, so on a real cluster this collect becomes a
-        treeAggregate or an object-store write per shard.
+        The per-shard build runs distributed (one Arrow group per shard)
+        and the owning TASK publishes the next shard-file version itself —
+        the driver collects only ``(shard, n, changed)`` ints. Task retries
+        are safe: republishing the same version with the same OR result is
+        idempotent (the content is a pure function of old-state + batch).
         """
         hashed = self.with_hashes(df.select(url_col), url_col)
         hashed = hashed.withColumn(
             "_shard", F.pmod(F.col("_bh1"), F.lit(self.n_shards)).cast("int"))
         bits, k, words = self.bits, self.k, self.bits // 64
+        sd, vers = self.state_dir, tuple(self.meta.versions)
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            from crawler_seo_spark.operators import shardstate
+            s = int(pdf["_shard"].iloc[0])
             h1 = pdf["_bh1"].to_numpy().astype(np.uint64)
             h2 = pdf["_bh2"].to_numpy().astype(np.uint64)
             ks = np.arange(k, dtype=np.uint64)
             pos = ((h1[:, None] + ks[None, :] * h2[:, None])
                    % np.uint64(bits)).ravel()
-            bitmap = np.zeros(words, dtype=np.uint64)
-            np.bitwise_or.at(bitmap, (pos // 64).astype(np.int64),
+            incoming = np.zeros(words, dtype=np.uint64)
+            np.bitwise_or.at(incoming, (pos // 64).astype(np.int64),
                              np.uint64(1) << (pos % np.uint64(64)))
-            return pd.DataFrame({
-                "shard": [int(pdf["_shard"].iloc[0])],
-                "bitmap": [bitmap.tobytes()],
-                "n": [len(pdf)],
-            })
+            old_bytes = shardstate.read_shard(sd, s, vers[s])
+            old = (np.frombuffer(old_bytes, dtype=np.uint64)
+                   if old_bytes is not None
+                   else np.zeros(words, dtype=np.uint64))
+            # publish only if the OR actually flips a bit — a round of
+            # already-seen URLs writes (and later reloads) nothing.
+            changed = bool(np.any(incoming & ~old))
+            if changed:
+                shardstate.publish_shard(sd, s, vers[s] + 1,
+                                         (old | incoming).tobytes())
+            return pd.DataFrame({"shard": [s], "n": [len(pdf)],
+                                 "changed": [int(changed)]})
 
         built = (
             hashed.groupBy("_shard")
-            .applyInPandas(build, schema="shard int, bitmap binary, n long")
+            .applyInPandas(build, schema="shard int, n long, changed int")
             .collect()
         )
         for row in built:
-            incoming = np.frombuffer(row["bitmap"], dtype=np.uint64)
-            s = row["shard"]
-            # dirty only if the OR actually flips a bit — a round of
-            # already-seen URLs re-broadcasts nothing.
-            if np.any(incoming & ~self.shards[s]):
-                self.shards[s] = self.shards[s] | incoming
-                self._dirty.add(s)
+            if row["changed"]:
+                self.meta.versions[row["shard"]] += 1
+                self._dirty.add(row["shard"])
             self.n_inserted += row["n"]
+        self.meta.counters["n_inserted"] = self.n_inserted
+        self.meta.save()
 
     # -- probe ----------------------------------------------------------------
-    def _refresh_broadcasts(self, spark: SparkSession) -> None:
-        """Re-broadcast ONLY the shards whose bitmap changed since the last
-        probe; unchanged shards keep their executor-cached broadcast."""
-        sent = 0
-        for s in sorted(self._dirty):
-            if self._bc[s] is not None:
-                self._bc[s].unpersist()
-            self._bc[s] = spark.sparkContext.broadcast(self.shards[s])
-            sent += self.shards[s].nbytes
+    def _account_probe(self) -> None:
+        """Meter the per-round reload traffic: each worker must (re)read
+        exactly the shards whose version changed since its last probe."""
         self.last_changed_shards = len(self._dirty)
-        self.last_rebroadcast_bytes = sent
-        self.total_rebroadcast_bytes += sent
+        self.last_rebroadcast_bytes = len(self._dirty) * self.shard_nbytes
+        self.total_rebroadcast_bytes += self.last_rebroadcast_bytes
         self.probe_rounds += 1
         self._dirty.clear()
 
@@ -164,22 +192,34 @@ class ShardedBloom:
             "last_changed_shards": self.last_changed_shards,
             "last_rebroadcast_bytes": self.last_rebroadcast_bytes,
             "total_rebroadcast_bytes": self.total_rebroadcast_bytes,
+            "driver_resident_bytes": self.meta.driver_resident_bytes(),
+            "state_dir": self.state_dir,
         }
 
     def maybe_seen_col(self, spark: SparkSession):
         """Vectorized membership test: (h1, h2) → bool (true = maybe seen).
 
-        Ships only changed shards (see :meth:`_refresh_broadcasts`), then
-        probes each Arrow batch grouped by shard — a task touches only the
-        shard bitmaps its rows route to, so per-task memory stays
-        O(shards-in-batch) even when total bloom state is tens of GiB.
+        The UDF closure carries only (state_dir, version vector) — shard
+        bitmaps are loaded worker-side through the per-process shard cache
+        (operators/shardstate.py), grouped per Arrow batch by shard, so a
+        task touches only the shard bitmaps its rows route to: per-task
+        memory is O(shards-in-batch) even when total state is tens of GiB,
+        and an unchanged shard is read from disk once per worker process.
         """
-        self._refresh_broadcasts(spark)
-        bcs = list(self._bc)
-        bits, k, n_shards = self.bits, self.k, self.n_shards
+        self._account_probe()
+        sd, vers = self.state_dir, tuple(self.meta.versions)
+        bits, k, n_shards, words = self.bits, self.k, self.n_shards, \
+            self.bits // 64
 
         @F.pandas_udf("boolean")
         def _maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            from crawler_seo_spark.operators.shardstate import cached_load
+
+            def parse(b):
+                return (np.frombuffer(b, dtype=np.uint64)
+                        if b is not None
+                        else np.zeros(words, dtype=np.uint64))
+
             s1 = h1.to_numpy().astype(np.int64)
             u1 = s1.astype(np.uint64)
             u2 = h2.to_numpy().astype(np.uint64)
@@ -191,7 +231,7 @@ class ShardedBloom:
             out = np.empty(len(s1), dtype=bool)
             for s in np.unique(shard_idx):
                 m = shard_idx == s
-                bitmap = bcs[int(s)].value
+                bitmap = cached_load(sd, int(s), vers[int(s)], parse)
                 out[m] = ((bitmap[word[m]] & bit[m]) != 0).all(axis=1)
             return pd.Series(out)
 

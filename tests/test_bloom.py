@@ -63,7 +63,7 @@ def test_rebroadcast_only_changed_shards(spark):
     """Round traffic is bounded by changed shards: a no-op round ships zero
     bytes; a fresh round ships only the shards its URLs hash into."""
     bloom = ShardedBloom(n_shards=16, bits_per_shard=1 << 13)
-    shard_bytes = bloom.shards[0].nbytes
+    shard_bytes = bloom.shard_nbytes
 
     first = _urls(spark, 0, 200).localCheckpoint(eager=True)
     bloom.add_urls(first)

@@ -67,12 +67,12 @@ def test_rebroadcast_only_changed_shards(spark):
     ck.add_urls(_urls(spark, 0, 500).localCheckpoint(eager=True))
     ck.maybe_seen_col(spark)
     first = ck.last_rebroadcast_bytes
-    assert first == 16 * ck.tables[0].nbytes
+    assert first == 16 * ck.shard_nbytes
     ck.maybe_seen_col(spark)  # nothing changed
     assert ck.last_rebroadcast_bytes == 0
     ck.delete_urls(_urls(spark, 0, 1))
     ck.maybe_seen_col(spark)  # one shard dirtied by the delete
-    assert ck.last_rebroadcast_bytes == ck.tables[0].nbytes
+    assert ck.last_rebroadcast_bytes == ck.shard_nbytes
 
 
 def test_recrawl_invalidation_flow(spark):
