@@ -273,7 +273,12 @@ class CrawlEngine:
         rounds: list[dict] = []
         n_parts = self.spark.sparkContext.defaultParallelism
 
-        manifest = self.store.manifest() if (resume and self.store) else None
+        manifest = None
+        if resume and self.store is not None:
+            # reclaim markers orphaned by a crash between marker claim and
+            # manifest publish (we are the single resuming writer)
+            self.store.recover_incomplete()
+            manifest = self.store.manifest()
         if manifest is not None:
             last, c = manifest["round"], manifest["counters"]
             frontier = self.store.read(self.spark, "frontier", last) \
@@ -290,6 +295,15 @@ class CrawlEngine:
             seen_count = c["seen_total"]
             round_id = last + 1
         else:
+            # fresh run: a stale store/filter from a previous run over the
+            # same checkpoint dir must not leak into this one — old commit
+            # markers would refuse round 0, and a stale seen filter lacking
+            # this run's urls would produce FALSE NEGATIVES (duplicates)
+            # through the skipped backfill.
+            if self.store is not None and self.store.manifest() is not None:
+                self.store.reset()
+            if self.bloom.n_inserted:
+                self.bloom.reset()
             frontier, seen, n_seeds = self._seed_frontier()
             frontier = frontier.localCheckpoint(eager=True)
             seen = seen.localCheckpoint(eager=True)
@@ -497,28 +511,48 @@ class CrawlEngine:
             next_discovery_seq += enqueued
             t_seq = time.monotonic()
 
-            # --- merge frontier & seen (Iceberg MERGE INTO equivalent) ---------
-            # repartition pins the partition count (unions otherwise grow it
-            # every round) and hash-partitions on url so the next round's
-            # anti-joins are co-located.
-            remaining = frontier.join(F.broadcast(batch.select("url")),
-                                      "url", "left_anti")
-            frontier = (remaining.unionByName(new_frontier)
-                        .repartition(n_parts, "url")
-                        .localCheckpoint(eager=True))
-            frontier_count = frontier_count - batch_count + enqueued
-            # seen grows as a lazy union of per-round parts — each part is
-            # narrow over an already-checkpointed round output, so lineage
-            # depth stays 1 and no extra materialization job runs; the union
-            # is compacted (checkpointed + repartitioned) periodically to
-            # bound plan size.
+            # --- merge frontier & seen (Iceberg MERGE INTO) --------------------
             new_seen = new_frontier.select(
                 "url", F.md5(F.col("url")).alias("url_md5"))
-            seen = seen.unionByName(new_seen)
+            if self.store is not None:
+                # Store mode: the table provider is the single publish
+                # path. The round's frontier/seen snapshots are produced BY
+                # the merge itself — MERGE INTO frontier (dequeued batch
+                # DELETE, new rows INSERT) and MERGE INTO seen (insert-only)
+                # — and the returned DataFrames read back from the written
+                # files: lineage is cut by storage instead of a second
+                # localCheckpoint materialization, and a resumed run
+                # continues from the exact bytes this run used.
+                # assume_disjoint invariant: new_frontier urls were pruned
+                # against seen, and frontier ⊆ seen (every enqueued url is
+                # registered the same round) — oracle-differential tested.
+                frontier = self.store.merge_into(
+                    self.spark, "frontier", new_frontier, on="url",
+                    round_id=round_id, target=frontier,
+                    delete_keys=batch.select("url"), assume_disjoint=True)
+                seen = self.store.merge_into(
+                    self.spark, "seen", new_seen, on="url",
+                    round_id=round_id, target=seen, assume_disjoint=True)
+            else:
+                # In-memory mode: repartition pins the partition count
+                # (unions otherwise grow it every round) and hash-partitions
+                # on url so the next round's anti-joins are co-located.
+                remaining = frontier.join(F.broadcast(batch.select("url")),
+                                          "url", "left_anti")
+                frontier = (remaining.unionByName(new_frontier)
+                            .repartition(n_parts, "url")
+                            .localCheckpoint(eager=True))
+                # seen grows as a lazy union of per-round parts — each part
+                # is narrow over an already-checkpointed round output, so
+                # lineage depth stays 1 and no extra materialization job
+                # runs; the union is compacted (checkpointed + repartitioned)
+                # periodically to bound plan size.
+                seen = seen.unionByName(new_seen)
+                if (round_id + 1) % cfg.seen_compact_every == 0:
+                    seen = (seen.repartition(n_parts, "url")
+                            .localCheckpoint(eager=True))
+            frontier_count = frontier_count - batch_count + enqueued
             seen_count += enqueued
-            if (round_id + 1) % cfg.seen_compact_every == 0:
-                seen = (seen.repartition(n_parts, "url")
-                        .localCheckpoint(eager=True))
             if bloom_active:
                 self.bloom.add_urls(new_frontier.select("url"))
             t_merge = time.monotonic()
@@ -546,12 +580,20 @@ class CrawlEngine:
             })
 
             if self.store is not None:
-                self.store.write("frontier", frontier, round_id)
-                self.store.write("seen", seen, round_id)
+                # frontier/seen snapshots were already published by the
+                # MERGE INTO above; the commit marker makes them visible.
                 self.store.write("results", result, round_id)
                 self.store.commit_round(round_id, rounds[-1])
             round_id += 1
 
+        if self.store is not None:
+            # the returned state must outlive the store contents — a later
+            # run over the same checkpoint dir may rewrite these round dirs
+            # — so pin the storage-backed tables into the session once, at
+            # the run boundary (not per round: within a run no referenced
+            # snapshot dir is ever overwritten).
+            frontier = frontier.localCheckpoint(eager=True)
+            seen = seen.localCheckpoint(eager=True)
         results = results_parts[0]
         for part in results_parts[1:]:
             results = results.unionByName(part)

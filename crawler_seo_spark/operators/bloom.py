@@ -97,6 +97,14 @@ class ShardedBloom:
     def shard_nbytes(self) -> int:
         return self.bits // 8
 
+    def reset(self) -> None:
+        """Drop all filter state (fresh run over a stale state dir). Starts
+        a new ShardMeta epoch so worker caches can't serve old bytes."""
+        self.meta.reset()
+        self.n_inserted = 0
+        self._dirty.clear()
+        self.last_changed_shards = self.last_rebroadcast_bytes = 0
+
     # -- hash columns (JVM-side) -------------------------------------------
     @staticmethod
     def with_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -136,7 +144,7 @@ class ShardedBloom:
         hashed = hashed.withColumn(
             "_shard", F.pmod(F.col("_bh1"), F.lit(self.n_shards)).cast("int"))
         bits, k, words = self.bits, self.k, self.bits // 64
-        sd, vers = self.state_dir, tuple(self.meta.versions)
+        sd, vers = self.state_dir, self.meta.tokens()
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             from crawler_seo_spark.operators import shardstate
@@ -207,7 +215,7 @@ class ShardedBloom:
         and an unchanged shard is read from disk once per worker process.
         """
         self._account_probe()
-        sd, vers = self.state_dir, tuple(self.meta.versions)
+        sd, vers = self.state_dir, self.meta.tokens()
         bits, k, n_shards, words = self.bits, self.k, self.n_shards, \
             self.bits // 64
 

@@ -132,6 +132,16 @@ class ShardedCuckoo:
     def shard_nbytes(self) -> int:
         return self.buckets * self.slots * 2  # uint16 slot table
 
+    def reset(self) -> None:
+        """Drop all filter state (fresh run over a stale state dir). Starts
+        a new ShardMeta epoch so worker caches can't serve old bytes."""
+        self.meta.reset()
+        self.n_inserted = self.n_deleted = 0
+        self._occupied = [0] * self.n_shards
+        self._stash_n = [0] * self.n_shards
+        self._dirty.clear()
+        self.last_rebroadcast_bytes = 0
+
     # -- hash columns (JVM-side) -------------------------------------------
     @staticmethod
     def with_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -165,7 +175,7 @@ class ShardedCuckoo:
                   .withColumn("_shard",
                               F.pmod(F.col("_ch1"),
                                      F.lit(self.n_shards)).cast("int")))
-        sd, vers = self.state_dir, tuple(self.meta.versions)
+        sd, vers = self.state_dir, self.meta.tokens()
         buckets, slots, max_kicks, seed = \
             self.buckets, self.slots, self.max_kicks, self.seed
         scramble, n_shards = _SCRAMBLE, self.n_shards
@@ -280,7 +290,7 @@ class ShardedCuckoo:
         """(h1, h2) → bool; shard tables load worker-side via the
         per-process cache — each probe round re-reads only changed shards."""
         self._account_probe()
-        sd, vers = self.state_dir, tuple(self.meta.versions)
+        sd, vers = self.state_dir, self.meta.tokens()
         n_shards, buckets, slots = self.n_shards, self.buckets, self.slots
         scramble = _SCRAMBLE
         mask = np.uint64(buckets - 1)

@@ -62,9 +62,17 @@ def publish_shard(state_dir: str, shard: int, version: int,
             pass
 
 
+# Version tokens are ``epoch << 20 | version`` (ShardMeta.token): the low
+# 20 bits count publishes within an epoch (1M rounds headroom), the high
+# bits change on reset() so post-reset lookups can't hit stale cache/file
+# entries. Low bits == 0 ⇔ the shard was never written in this epoch.
+_VER_MASK = (1 << 20) - 1
+
+
 def read_shard(state_dir: str, shard: int, version: int) -> bytes | None:
-    """Raw bytes of a shard version; None for version 0 (never written)."""
-    if version <= 0:
+    """Raw bytes of a shard version token; None if never written (the
+    version bits of the token are zero)."""
+    if version & _VER_MASK == 0:
         return None
     with open(shard_path(state_dir, shard, version), "rb") as f:
         return f.read()
@@ -97,11 +105,13 @@ class ShardMeta:
         self.state_dir = state_dir
         self.n_shards = n_shards
         self.versions = [0] * n_shards
+        self.epoch = 0
         self.counters: dict = {}
         os.makedirs(state_dir, exist_ok=True)
         m = self._load_manifest()
         if m is not None and m.get("n_shards") == n_shards:
             self.versions = list(m["versions"])
+            self.epoch = int(m.get("epoch", 0))
             self.counters = dict(m.get("counters", {}))
 
     @property
@@ -119,8 +129,32 @@ class ShardMeta:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"n_shards": self.n_shards, "versions": self.versions,
-                       "counters": self.counters}, f)
+                       "epoch": self.epoch, "counters": self.counters}, f)
         os.replace(tmp, self._manifest_path)
+
+    def token(self, shard: int) -> int:
+        """Cache/path token for a shard's current state: epoch ∥ version.
+
+        Tokens are GLOBALLY unique across :meth:`reset` generations — a
+        reset bumps the epoch, so a worker-process cache entry from the
+        previous generation (same shard, version counter restarted) can
+        never satisfy a post-reset lookup with stale bytes."""
+        return (self.epoch << 20) | self.versions[shard]
+
+    def tokens(self) -> tuple[int, ...]:
+        return tuple(self.token(s) for s in range(self.n_shards))
+
+    def reset(self) -> None:
+        """Drop all shard state (a fresh run over a stale state dir) and
+        start a new epoch so token-keyed worker caches can't serve the old
+        generation."""
+        for name in os.listdir(self.state_dir):
+            if name.startswith("shard") and name.endswith(".bin"):
+                os.remove(os.path.join(self.state_dir, name))
+        self.epoch += 1
+        self.versions = [0] * self.n_shards
+        self.counters = {}
+        self.save()
 
     def driver_resident_bytes(self) -> int:
         """Upper bound on driver-held filter state (the version vector) —

@@ -343,20 +343,29 @@ WHERE rn = 1
 """)
 def j2_frontier_merge(spark, sf_dir):
     """J2: MERGE-INTO-when-not-matched semantics — existing frontier wins,
-    new URLs append (url_manager.py:207-220)."""
-    from pyspark.sql import Window
+    new URLs append (url_manager.py:207-220) — exercised THROUGH the table
+    provider (tables.SnapshotStore.merge_into): the existing frontier is
+    written and committed as snapshot r0, the incoming rows are merged with
+    WHEN NOT MATCHED THEN INSERT into snapshot r1, and the returned rows
+    read back from the written files. Each side is first deduped to its
+    minimum discovery_seq per url (the oracle's row_number pick)."""
+    import tempfile
+
+    from ..tables import SnapshotStore
     base = _canonical_urls(spark, sf_dir).select("doc_id", "url") \
         .filter(~(F.col("doc_id") % 8).isin(6, 7))
     existing = (base.filter(F.col("doc_id") % 2 == 0)
-                .select("url", F.col("doc_id").alias("discovery_seq"),
-                        F.lit(0).alias("src")))
+                .groupBy("url")
+                .agg(F.min("doc_id").alias("discovery_seq")))
     incoming = (base.filter(F.col("doc_id") % 3 == 0)
-                .select("url", (F.col("doc_id") + 1000000).alias("discovery_seq"),
-                        F.lit(1).alias("src")))
-    w = Window.partitionBy("url").orderBy("src", "discovery_seq")
-    return (existing.unionByName(incoming)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("url", "discovery_seq"))
+                .groupBy("url")
+                .agg((F.min("doc_id") + 1000000).alias("discovery_seq")))
+    store = SnapshotStore(tempfile.mkdtemp(prefix="j2-merge-"))
+    store.write("frontier", existing, 0)
+    store.commit_round(0, {})
+    return (store.merge_into(spark, "frontier", incoming, on="url",
+                             round_id=1)
+            .select("url", "discovery_seq"))
 
 
 # ===========================================================================

@@ -1,20 +1,33 @@
-"""Snapshot-versioned parquet tables (checkpoint/resume layer).
+"""Snapshot-versioned parquet tables (checkpoint/resume layer) with
+Iceberg-shaped MERGE INTO and concurrent-writer-safe commits.
 
 Production target is Iceberg (`MERGE INTO` frontier/seen, snapshot-per-round
 time travel); the Iceberg runtime jars are not in this container, so this
 module provides the same contract on plain parquet:
 
 * one directory per table per round: ``{root}/{table}/r{round:05d}/``,
-* atomic commit: data lands in a ``_tmp`` directory, then a single
+* atomic data publish: data lands in a ``_tmp`` directory, then a single
   ``os.rename`` publishes it (rename is atomic on POSIX),
+* atomic commit with OPTIMISTIC CONCURRENCY: committing round N first
+  claims ``rounds/r{N}.commit`` with ``O_CREAT|O_EXCL`` — the filesystem
+  arbitrates exactly one winner, the loser gets
+  :class:`ConcurrentCommitError` (the Iceberg catalog-pointer CAS, on
+  POSIX). Only then are the round record and the manifest published, each
+  via write-tmp + ``os.replace``. A crash between marker and manifest
+  leaves the previous round committed; :meth:`recover_incomplete` (called
+  on resume) reclaims such orphaned markers,
 * a JSON manifest (``_manifest.json``) recording the last committed round
-  and counters, written last — a crash between data and manifest leaves the
-  previous round as the committed state, so resume is always consistent,
-* resume = read every table at the manifest's round (bit-identical, tested).
+  and counters, written last — resume = read every table at the manifest's
+  round (bit-identical, tested),
+* :meth:`merge_into` — the ``MERGE INTO frontier USING new_rows ON url
+  WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT`` shape the
+  north rule names, emulated as anti-join + union over the snapshot and
+  published as the next round's snapshot.
 
-Call sites use only this API, so swapping in Iceberg is a one-module change
-(reference checkpoint artifacts modeled: the ``cache/*.pkl`` run snapshots,
-see SURVEY §1.4).
+Call sites use only this API (the ``TableProvider`` surface), so swapping
+in real Iceberg is a one-module change: ``merge_into`` becomes the SQL
+MERGE, ``commit_round`` becomes the catalog commit (reference checkpoint
+artifacts modeled: the ``cache/*.pkl`` run snapshots, SURVEY §1.4).
 """
 
 from __future__ import annotations
@@ -24,9 +37,18 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer already committed this round (optimistic-concurrency
+    loser). Re-read the manifest and rebase, exactly like an Iceberg
+    CommitFailedException."""
 
 
 class SnapshotStore:
+    """The parquet implementation of the table-provider contract."""
+
     def __init__(self, root: str) -> None:
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -43,16 +65,60 @@ class SnapshotStore:
         except FileNotFoundError:
             return None
 
+    def _round_marker(self, round_id: int) -> str:
+        return os.path.join(self.root, "rounds", f"r{round_id:05d}.commit")
+
     def commit_round(self, round_id: int, counters: dict) -> None:
+        """Publish ``round_id`` as the committed state. Exactly one writer
+        can commit a given round: the ``O_CREAT|O_EXCL`` marker claim is
+        the atomic arbiter; losers raise :class:`ConcurrentCommitError`
+        without touching the manifest."""
         payload = {"round": round_id, "counters": counters}
         hist_dir = os.path.join(self.root, "rounds")
         os.makedirs(hist_dir, exist_ok=True)
+        try:
+            fd = os.open(self._round_marker(round_id),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"round {round_id} already committed (or mid-commit) by "
+                f"another writer; re-read the manifest and rebase") from None
         with open(os.path.join(hist_dir, f"r{round_id:05d}.json"), "w") as f:
             json.dump(payload, f, indent=1)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=1)
         os.replace(tmp, self._manifest_path)
+
+    def recover_incomplete(self) -> list[int]:
+        """Reclaim commit markers beyond the committed manifest round — a
+        writer died between marker claim and manifest publish. Call when
+        (re)opening the store as the single resuming writer; returns the
+        reclaimed round ids."""
+        m = self.manifest()
+        committed = -1 if m is None else m["round"]
+        hist_dir = os.path.join(self.root, "rounds")
+        reclaimed = []
+        if os.path.isdir(hist_dir):
+            for name in os.listdir(hist_dir):
+                if name.endswith(".commit"):
+                    r = int(name[1:6])
+                    if r > committed:
+                        os.remove(os.path.join(hist_dir, name))
+                        reclaimed.append(r)
+        return sorted(reclaimed)
+
+    def reset(self) -> None:
+        """Clear commit metadata (manifest + round records/markers) for a
+        fresh run over an existing root. Table data dirs are left in place
+        — each round's write overwrites its own dir, and unreferenced dirs
+        are garbage exactly as after a rollback."""
+        shutil.rmtree(os.path.join(self.root, "rounds"), ignore_errors=True)
+        try:
+            os.remove(self._manifest_path)
+        except FileNotFoundError:
+            pass
 
     def rollback(self, round_id: int) -> None:
         """Reset the committed state to ``round_id`` (crash simulation /
@@ -61,6 +127,11 @@ class SnapshotStore:
         with open(os.path.join(self.root, "rounds",
                                f"r{round_id:05d}.json")) as f:
             payload = json.load(f)
+        # later rounds' markers must be reclaimable by the resumed run
+        hist_dir = os.path.join(self.root, "rounds")
+        for name in os.listdir(hist_dir):
+            if name.endswith(".commit") and int(name[1:6]) > round_id:
+                os.remove(os.path.join(hist_dir, name))
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=1)
@@ -86,3 +157,57 @@ class SnapshotStore:
         if m is None:
             return None
         return self.read(spark, table, m["round"])
+
+    # -- MERGE INTO (Iceberg shape) ------------------------------------------
+    def merge_into(self, spark: SparkSession, table: str, source: DataFrame,
+                   on: str = "url", round_id: int | None = None, *,
+                   target: DataFrame | None = None,
+                   delete_keys: DataFrame | None = None,
+                   assume_disjoint: bool = False) -> DataFrame:
+        """``MERGE INTO table USING source ON table.on = source.on
+        WHEN MATCHED (delete_keys) THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *`` — the north rule's frontier merge.
+
+        ``target`` defaults to the latest committed snapshot (None = empty:
+        the merge degenerates to an insert). The engine passes its
+        checkpointed in-memory frontier instead, avoiding a re-read of
+        state it already holds — the provider stays the single publish
+        path. ``delete_keys`` models WHEN MATCHED THEN DELETE (the dequeued
+        batch leaving the frontier). ``assume_disjoint=True`` skips the
+        not-matched anti-join when the caller guarantees source keys are
+        absent from the target (the engine's candidates are already pruned
+        against the seen superset — an invariant the oracle-differential
+        tests cover); the default performs the full merge semantics.
+
+        With ``round_id`` the result is published as that round's snapshot
+        and the returned DataFrame reads back from the written files —
+        lineage cut by storage, the Iceberg behavior. Without it the lazy
+        merged plan is returned (dry merge).
+        """
+        if target is None:
+            target = self.read_latest(spark, table)
+        remaining = target
+        if target is not None and delete_keys is not None:
+            remaining = target.join(F.broadcast(delete_keys.select(on)),
+                                    on, "left_anti")
+        if remaining is None:
+            merged = source
+        else:
+            incoming = (source if assume_disjoint
+                        else source.join(remaining.select(on), on,
+                                         "left_anti"))
+            merged = remaining.unionByName(incoming)
+        if round_id is not None:
+            self.write(table, merged, round_id)
+            return self.read(spark, table, round_id)
+        return merged
+
+
+# The provider contract call sites depend on (duck-typed; SnapshotStore is
+# the parquet impl, a real Iceberg provider would implement the same names
+# over catalog + MERGE INTO SQL):
+#   manifest() / commit_round(round, counters) / recover_incomplete()
+#   reset() / rollback(round)
+#   write(table, df, round) / read(spark, table, round)
+#   read_latest(spark, table) / merge_into(spark, table, source, ...)
+TableProvider = SnapshotStore

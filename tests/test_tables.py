@@ -1,0 +1,105 @@
+"""Table provider: Iceberg-shaped MERGE INTO + optimistic-concurrency
+commits on the parquet snapshot layer (round-2 verdict item 3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_seo_spark.tables import ConcurrentCommitError, SnapshotStore
+
+
+def _frontier(spark, ids):
+    return spark.createDataFrame(
+        [(f"https://ex.test/u/{i}", i) for i in ids],
+        "url string, discovery_seq long")
+
+
+def test_two_writer_commit_conflict(spark, tmp_path):
+    """Exactly one of two writers can commit a round: the O_EXCL marker
+    claim is the atomic arbiter (Iceberg catalog-pointer CAS)."""
+    root = str(tmp_path / "store")
+    a, b = SnapshotStore(root), SnapshotStore(root)
+    df = _frontier(spark, range(5))
+    a.write("frontier", df, 0)
+    a.commit_round(0, {"n": 5})
+    b.write("frontier", df, 0)  # data write is idempotent staging
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_round(0, {"n": 5})
+    # winner's manifest intact
+    assert a.manifest()["round"] == 0
+    assert a.manifest()["counters"]["n"] == 5
+
+
+def test_merge_into_delete_and_insert(spark, tmp_path):
+    """WHEN MATCHED (delete_keys) THEN DELETE + WHEN NOT MATCHED THEN
+    INSERT over a committed snapshot, published as the next snapshot."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write("frontier", _frontier(spark, range(10)), 0)
+    store.commit_round(0, {})
+    merged = store.merge_into(
+        spark, "frontier", _frontier(spark, range(8, 14)), on="url",
+        round_id=1, delete_keys=_frontier(spark, range(3)).select("url"))
+    got = {r["url"]: r["discovery_seq"] for r in merged.collect()}
+    # 0-2 deleted; 3-9 kept with their ORIGINAL seq; 10-13 inserted
+    assert set(got) == {f"https://ex.test/u/{i}" for i in range(3, 14)}
+    for i in range(3, 10):
+        assert got[f"https://ex.test/u/{i}"] == i
+    # the returned frame reads back from the written snapshot
+    assert store.read(spark, "frontier", 1).count() == 11
+    store.commit_round(1, {})
+    assert store.read_latest(spark, "frontier").count() == 11
+
+
+def test_merge_into_dry_and_disjoint(spark, tmp_path):
+    """Without round_id the merge is a lazy plan; assume_disjoint skips the
+    not-matched anti-join and must equal the full merge when the caller's
+    disjointness invariant actually holds."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write("t", _frontier(spark, range(5)), 0)
+    store.commit_round(0, {})
+    src = _frontier(spark, range(5, 9))
+    full = store.merge_into(spark, "t", src, on="url")
+    fast = store.merge_into(spark, "t", src, on="url", assume_disjoint=True)
+    assert sorted(r["url"] for r in full.collect()) \
+        == sorted(r["url"] for r in fast.collect())
+
+
+def test_orphaned_marker_recovery(spark, tmp_path):
+    """A crash between marker claim and manifest publish leaves an orphaned
+    marker; recover_incomplete reclaims it so the resumed writer can
+    re-commit the replayed round."""
+    import os
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write("t", _frontier(spark, range(3)), 0)
+    store.commit_round(0, {})
+    # simulate the crash window: marker for round 1 exists, no manifest move
+    os.close(os.open(store._round_marker(1),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(ConcurrentCommitError):
+        store.commit_round(1, {})
+    assert store.recover_incomplete() == [1]
+    store.write("t", _frontier(spark, range(4)), 1)
+    store.commit_round(1, {})
+    assert store.manifest()["round"] == 1
+
+
+def test_fresh_run_over_stale_checkpoint(spark, pages_df, tmp_path):
+    """run(resume=False) over a checkpoint dir left by a previous run must
+    reset store metadata AND seen-filter state (a stale filter lacking this
+    run's urls would silently produce duplicate crawls via the skipped
+    backfill) and reproduce the identical crawl."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.sources.synthetic_site import SEED_URL
+
+    def _order(state):
+        return [(r["crawl_seq"], r["url"], r["depth"], r["round"])
+                for r in state.crawl_order.orderBy("crawl_seq").collect()]
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=24, batch_size=8,
+                      checkpoint_dir=ckpt, bloom_min_seen=5)
+    first = CrawlEngine(spark, pages_df, cfg).run()
+    eng2 = CrawlEngine(spark, pages_df, cfg)
+    assert eng2.bloom.n_inserted > 0  # stale filter state reopened...
+    second = eng2.run()               # ...must be reset by the fresh run
+    assert _order(second) == _order(first)
+    assert SnapshotStore(ckpt).manifest()["round"] == second.rounds[-1]["round"]
