@@ -447,49 +447,149 @@ def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
 # Near-dup clustering: connected components over candidate pairs + keeper cut
 # ---------------------------------------------------------------------------
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): every node connects its strictly-LARGER
+    neighbors to its neighborhood minimum. Input/output edges are canonical
+    ``(hi, lo)`` with hi > lo."""
+    sym = (edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+           .unionAll(edges.select(F.col("lo").alias("u"),
+                                  F.col("hi").alias("v"))))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), m.alias("lo"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller neighbors (and
+    itself) to the minimum of that set. Canonical (hi, lo) in and out."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    leaves = (edges.join(mins, "hi")
+              .filter(F.col("lo") != F.col("m"))
+              .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
+    centers = mins.select("hi", F.col("m").alias("lo"))
+    return leaves.unionByName(centers).distinct()
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iters: int = 50,
+                         algorithm: str = "star") -> tuple[DataFrame, int]:
+    """Connected components over an edge list → ((member, label), rounds).
+
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    contraction — O(log n) rounds on high-diameter graphs (a path graph
+    contracts logarithmically, where plain label propagation needs
+    diameter rounds), two shuffle jobs per round. The fixed point is a set
+    of stars: every node holds exactly the edge (node, component-min).
+
+    ``algorithm="label"``: iterative min-label propagation (rounds ≈
+    diameter) — fine for the small dense clusters near-dup banding emits,
+    kept for differential testing.
+
+    Both loops cut lineage per round with localCheckpoint and ride their
+    convergence check on the SAME materialization via ``Observation`` —
+    no separate count job per round. The star loop's (count, hash-sum)
+    signature match triggers one exact anti-join verification before
+    declaring the fixed point, so convergence is never declared on a hash
+    collision.
+    """
+    from pyspark.sql import Observation
+    edges0 = (pairs
+              .select(F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+                      F.least(F.col(id_a), F.col(id_b)).alias("lo"))
+              .filter(F.col("hi") != F.col("lo"))
+              .distinct()
+              .localCheckpoint(eager=True))
+
+    if algorithm == "label":
+        return _label_components(edges0, max_iters)
+
+    edges = edges0
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iters):
+        obs = Observation()
+        stepped = (_small_star(_large_star(edges))
+                   .observe(obs,
+                            F.count(F.lit(1)).alias("n"),
+                            # xor-fold: order-independent, overflow-free
+                            # (ANSI sum() of hashes overflows long)
+                            F.bit_xor(F.xxhash64("hi", "lo")).alias("h"))
+                   .localCheckpoint(eager=True))
+        rounds += 1
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
+            # exact fixed-point verification (hash-sum equality is evidence,
+            # not proof): both sides are distinct sets of equal size, so
+            # emptiness of one anti-join proves set equality.
+            if stepped.join(edges, ["hi", "lo"], "left_anti").limit(1) \
+                    .count() == 0:
+                edges = stepped
+                break
+        prev_sig = sig
+        edges = stepped
+    members = edges.select(F.col("hi").alias("member"),
+                           F.col("lo").alias("label"))
+    centers = edges.select(F.col("lo").alias("member")).distinct() \
+        .withColumn("label", F.col("member"))
+    return members.unionByName(centers), rounds
+
+
+def _label_components(edges0: DataFrame,
+                      max_iters: int) -> tuple[DataFrame, int]:
+    """Min-label propagation (the round-2 path), with the changed-count
+    riding the per-round checkpoint as an observed metric instead of a
+    separate join+count job."""
+    from pyspark.sql import Observation
+    edges = (edges0.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+             .unionAll(edges0.select(F.col("lo").alias("a"),
+                                     F.col("hi").alias("b"))))
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    rounds = 0
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges["b"] == labels["node"])
+                        .groupBy("a")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_label = F.least(F.col("label"),
+                            F.coalesce(F.col("nbr_label"), F.col("label")))
+        obs = Observation()
+        new_labels = (labels.join(neighbor_min,
+                                  labels["node"] == neighbor_min["a"], "left")
+                      .select(F.col("node"), new_label.alias("new_label"),
+                              # min-labels only decrease: strict < is exact
+                              (new_label < F.col("label")).cast("long")
+                              .alias("_chg"))
+                      .observe(obs, F.sum("_chg").alias("changed"))
+                      .select(F.col("node"),
+                              F.col("new_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        rounds += 1
+        labels = new_labels
+        if not obs.get["changed"]:
+            break
+    return labels.select(F.col("node").alias("member"),
+                         F.col("label")), rounds
+
+
 def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iters: int = 50) -> DataFrame:
+                 max_iters: int = 50, algorithm: str = "star") -> DataFrame:
     """Connected components over near-dup pairs → (member, group) where
     ``group`` is the minimum member id of the component.
 
     A 100 TB dedup pipeline needs clusters, not pairs: MinHash-LSH / phash
     banding emit edges; the keep-one-per-cluster cut needs the transitive
-    closure. Iterative min-label propagation, one DataFrame job per
-    iteration (same driver-loop discipline as PageRank, operators/graph.py):
-    every node exchanges labels with its neighbors and keeps the minimum;
-    converged when no label changes. Iterations ≈ graph diameter (near-dup
-    clusters are small and dense — a handful of rounds); per-iteration
-    lineage is cut with localCheckpoint so plans stay O(1).
-    """
-    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-             .unionByName(pairs.select(F.col(id_b).alias("a"),
-                                       F.col(id_a).alias("b")))
-             .distinct()
-             .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
-    for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges["b"] == labels["node"])
-                        .groupBy("a")
-                        .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["node"] == neighbor_min["a"], "left")
-                      .select(F.col("node"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nbr_label"),
-                                                 F.col("label")))
-                              .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("member"),
-                         F.col("label").alias("group"))
+    closure. Default is the large-star/small-star contraction
+    (:func:`connected_components`) — logarithmic rounds, so long chains
+    (the failure mode of diameter-bound label propagation) converge well
+    inside ``max_iters``."""
+    labels, _ = connected_components(pairs, id_a, id_b, max_iters, algorithm)
+    return labels.select("member", F.col("label").alias("group"))
 
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame,

@@ -352,3 +352,28 @@ def test_dedup_groups_transitive_and_keeper_cut(spark):
                   drop_near_duplicates(docs, pairs).collect())
     # losers 2,3,4,11,21,22 dropped; singletons (no pairs) all kept
     assert kept == sorted(set(range(30)) - {2, 3, 4, 11, 21, 22})
+
+
+def test_star_contraction_logarithmic_on_path_graph(spark):
+    """The long-chain failure mode of label propagation: a 500-node PATH
+    needs ~diameter (500) label rounds, but the large-star/small-star
+    contraction must converge in O(log n) rounds — well under max_iters —
+    and still produce the exact components."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.operators.dedup import connected_components
+    path = spark.range(499).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    labels, rounds = connected_components(path, max_iters=50)
+    assert rounds <= 12, f"star contraction took {rounds} rounds"
+    got = {r["member"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(500)}
+    # and both algorithms agree on a random-ish mixed graph
+    pairs = spark.range(300).select(
+        (F.col("id") * 7 % 250).alias("id_a"),
+        (F.col("id") * 13 % 250).alias("id_b"))
+    star, _ = connected_components(pairs, algorithm="star")
+    label, lab_rounds = connected_components(pairs, algorithm="label")
+    assert sorted(map(tuple, star.collect())) \
+        == sorted(map(tuple, label.collect()))
+    assert lab_rounds >= 1
