@@ -100,26 +100,73 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
-def ivf_assign(corpus: DataFrame, n_lists: int = 16,
-               vec_col: str = "embedding", id_col: str = "vec_id",
-               seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
-    """IVF list assignment with deterministic hash-sampled centroids (swap
-    for k-means|| in production). Returns (corpus + ``ivf_list``, centroids).
-
-    Centroid selection is fully distributed: rank rows by a seeded
-    ``xxhash64`` of the id (a deterministic uniform shuffle) and take the
-    first ``n_lists`` — Spark plans ``orderBy(...).limit(n)`` as
-    TakeOrderedAndProject (per-partition top-n, driver merges only n rows),
-    so the ONLY driver materialization is the ≤``n_lists`` centroid rows.
-    No full-corpus ``collect()``/``count()`` anywhere (the round-1 version
-    collected every corpus id — a driver OOM at 10^10 rows)."""
+def seed_centroids(corpus: DataFrame, n_lists: int = 16,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 42) -> list[list[float]]:
+    """Deterministic hash-sampled centroid seeding, fully distributed:
+    rank rows by a seeded ``xxhash64`` of the id (a deterministic uniform
+    shuffle) and take the first ``n_lists`` — Spark plans
+    ``orderBy(...).limit(n)`` as TakeOrderedAndProject (per-partition
+    top-n, driver merges only n rows), so the ONLY driver materialization
+    is the ≤``n_lists`` centroid rows. No full-corpus ``collect()`` /
+    ``count()`` anywhere (the round-1 version collected every corpus id —
+    a driver OOM at 10^10 rows)."""
     cents = [r[0] for r in
              corpus.select(F.col(vec_col),
                            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
              .orderBy("_h", vec_col)
              .limit(n_lists)
              .select(vec_col).collect()]
-    cents = [[float(x) for x in c] for c in cents]
+    return [[float(x) for x in c] for c in cents]
+
+
+def ivf_assign(corpus: DataFrame, n_lists: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
+    """IVF list assignment with hash-sampled centroids (untrained; see
+    :func:`ivf_kmeans` for the Lloyd-trained variant). Returns
+    (corpus + ``ivf_list``, centroids)."""
+    cents = seed_centroids(corpus, n_lists, vec_col, id_col, seed)
+    return ivf_assign_with(corpus, cents, vec_col), cents
+
+
+def kmeans_iterate(corpus: DataFrame, centroids: list[list[float]],
+                   n_iters: int = 1, vec_col: str = "embedding",
+                   round_decimals: int = 6) -> list[list[float]]:
+    """Lloyd iterations as DataFrame jobs over the GIVEN centroids.
+
+    Each iteration: assignment via :func:`ivf_assign_with` (per-row JVM
+    array math, no Python), then centroid update = ``groupBy(ivf_list)``
+    with one ``avg`` per dimension — map-side partial aggregation, one
+    shuffle of ≤ n_lists × dim partials; only the ≤ n_lists centroid rows
+    ever reach the driver (they must: they are broadcast back into the
+    next assignment as literals). Components are rounded to
+    ``round_decimals`` so the result is reproducible across aggregation
+    orders and engines (float summation order is not associative — the
+    DuckDB oracle reproduces the same rounded update). Lists that receive
+    no vectors keep their previous centroid."""
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        assigned = ivf_assign_with(corpus, centroids, vec_col)
+        aggs = [F.round(F.avg(F.col(vec_col).getItem(i)), round_decimals)
+                .alias(f"c{i}") for i in range(dim)]
+        rows = assigned.groupBy("ivf_list").agg(*aggs).collect()
+        new_c = [list(c) for c in centroids]
+        for r in rows:
+            new_c[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        centroids = new_c
+    return centroids
+
+
+def ivf_kmeans(corpus: DataFrame, n_lists: int = 16, n_iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
+    """IVF with Lloyd-TRAINED centroids: hash-sampled seeding
+    (:func:`seed_centroids`) refined by ``n_iters`` k-means iterations —
+    closes the round-2 'centroids are hash-sampled, not trained' gap.
+    Returns (corpus + ``ivf_list``, trained centroids)."""
+    cents = seed_centroids(corpus, n_lists, vec_col, id_col, seed)
+    cents = kmeans_iterate(corpus, cents, n_iters, vec_col)
     return ivf_assign_with(corpus, cents, vec_col), cents
 
 

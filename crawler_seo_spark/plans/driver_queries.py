@@ -1111,6 +1111,61 @@ def s_ivf_assign(spark, sf_dir):
     return ivf_assign_with(emb, cents).select("vec_id", "ivf_list")
 
 
+@q("s_ivf_kmeans", """
+WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < 4),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+s0 AS (
+  SELECT v.vec_id, c0.cid, v.ev,
+         list_dot_product(ev, cv)
+         / (greatest(sqrt(list_dot_product(ev, ev)), 1e-12)
+            * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM v CROSS JOIN c0),
+a0 AS (
+  SELECT vec_id, cid, ev FROM (
+    SELECT vec_id, cid, ev,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM s0) WHERE rn = 1),
+upd AS (
+  SELECT cid, i, round(avg(ev[i + 1]), 6) AS m
+  FROM a0 CROSS JOIN (SELECT unnest(range(64)) AS i) dims
+  GROUP BY cid, i),
+c1 AS (
+  SELECT c0.cid, coalesce(u.cv1, c0.cv) AS cv
+  FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv1
+                     FROM upd GROUP BY cid) u USING (cid)),
+s1 AS (
+  SELECT v.vec_id, c1.cid,
+         list_dot_product(ev, cv)
+         / (greatest(sqrt(list_dot_product(ev, ev)), 1e-12)
+            * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM v CROSS JOIN c1)
+SELECT vec_id, cid::INT AS ivf_list FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid ASC) AS rn
+  FROM s1) WHERE rn = 1
+""")
+def s_ivf_kmeans(spark, sf_dir):
+    """IVF k-means TRAINING (round-2 verdict item 4): one full Lloyd
+    iteration from the s_ivf_assign centroids — assignment argmax,
+    per-list per-dimension means, reassignment — reproduced end-to-end by
+    DuckDB. Means are rounded to 6 decimals on both engines (float
+    summation is not associative, so raw partial-aggregation order would
+    differ); empty lists keep their previous centroid (COALESCE on both
+    sides). The Spark side is the production ``kmeans_iterate`` operator:
+    per-row JVM array math for assignment, one groupBy(ivf_list) shuffle
+    of map-side partial means per iteration, <= n_lists rows collected."""
+    from ..operators.similarity import ivf_assign_with, kmeans_iterate
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [[float(x) for x in r[0]] for r in
+             emb.filter("vec_id < 4").orderBy("vec_id")
+             .select("embedding").collect()]
+    trained = kmeans_iterate(emb, cents, n_iters=1)
+    return ivf_assign_with(emb, trained).select("vec_id", "ivf_list")
+
+
 @q("m_validate_images")
 def m_validate_images(spark, sf_dir):
     """Image+caption payload validation (input_hint invariant): decode,

@@ -168,6 +168,46 @@ def test_ivf_topk_self_match(vectors):
         assert top[qid] == qid
 
 
+def test_ivf_kmeans_recall_at_least_sampled(spark):
+    """Lloyd training must not lose recall vs the raw hash-sampled
+    centroids on clustered data (round-2 verdict: 'trained >= sampled').
+
+    Data: an angular CONTINUUM (vectors rotating smoothly with id) — the
+    regime where centroid placement matters at nprobe=1: list boundaries
+    cut the arc, and a query near a boundary loses the neighbors on the
+    other side. Hash-sampled centroids partition the arc unevenly (more
+    boundary losses); Lloyd iterations spread them toward balanced
+    segments. (Cleanly separated blob clusters do NOT discriminate:
+    consistent nearest-centroid assignment keeps recall at 1.0 for any
+    centroid placement — measured, hence this design.) Measured here:
+    sampled 0.9375 < trained 0.975."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.operators.similarity import (
+        brute_force_topk, ivf_assign, ivf_kmeans, ivf_topk)
+    theta = (F.col("id").cast("double") / 200.0) * 1.5
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.cos(theta).cast("float"), F.sin(theta).cast("float"),
+                (F.cos(theta * 3) / 10).cast("float"),
+                (F.sin(theta * 5) / 10).cast("float")).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    queries = corpus.filter("vec_id % 13 = 1").withColumnRenamed(
+        "vec_id", "query_id")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(corpus, queries, k=5).collect()}
+
+    def recall(assigned, cents):
+        got = {(r["query_id"], r["vec_id"]) for r in
+               ivf_topk(assigned, cents, queries, k=5, nprobe=1).collect()}
+        return len(got & exact) / len(exact)
+
+    sampled = recall(*ivf_assign(corpus, n_lists=8))
+    trained = recall(*ivf_kmeans(corpus, n_lists=8, n_iters=3))
+    assert trained > sampled, (sampled, trained)
+    assert trained >= 0.95, (sampled, trained)
+
+
 def test_multimodal_decode_validate_resize(spark):
     from crawler_seo_spark.operators.multimodal import (
         decode_images, resize_images, validate_images)
