@@ -164,6 +164,14 @@ class CrawlConfig:
     # "bloom" (append-only, smallest state) or "cuckoo" (supports DELETE —
     # required when recrawl invalidation must re-admit changed urls)
     seen_filter: str = "bloom"
+    # LIVE-mode robots.txt acquisition (north-star "robots.txt caching"):
+    # fetch /robots.txt once per newly-seen host through the configured
+    # fetcher and cache the parsed prefix rules for robots_ttl_rounds
+    # crawl rounds. OFF by default — the reference has no robots support,
+    # so default-off preserves crawl-order parity.
+    fetch_robots: bool = False
+    robots_ttl_rounds: int = 1000
+    robots_user_agent: str = "*"
     cuckoo_buckets_per_shard: int = 1 << 15
     # Engage the Bloom prefilter only once the seen set is large enough
     # that the prune pays for its build/probe jobs; below this the exact

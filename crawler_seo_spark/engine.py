@@ -106,6 +106,7 @@ class CrawlEngine:
                                       state_dir=filter_dir)
         self.robots = (robots_table(spark, robots_rules)
                        if robots_rules else None)
+        self._robots_dynamic: DataFrame | None = None  # LIVE robots cache
         self.store = (SnapshotStore(config.checkpoint_dir)
                       if config.checkpoint_dir else None)
 
@@ -230,6 +231,62 @@ class CrawlEngine:
                 yield pd.DataFrame(rows)
 
         return batch.mapInPandas(kernel, schema=out_schema)
+
+    def _refresh_robots(self, candidates: DataFrame, round_id: int) -> None:
+        """LIVE-mode robots.txt acquisition (north-star "robots.txt
+        caching"): fetch ``/robots.txt`` once per newly-seen or TTL-stale
+        candidate host through the configured fetcher (one tiny
+        ``mapInPandas`` over the hosts — rules are parsed worker-side),
+        and merge the rows into the per-host rules cache TABLE. The cache
+        is a DataFrame, not a driver dict — no O(hosts) driver residency;
+        refreshed rows replace stale ones by anti-join. Non-200/erroring
+        robots endpoints yield allow-all (the common-crawler simplification
+        of RFC 9309's 4xx rule; a strict 5xx=deny policy would plug in
+        here)."""
+        from .functions.urlnorm import host_col
+        cfg = self.config
+        if self._robots_dynamic is None:
+            self._robots_dynamic = self.spark.createDataFrame(
+                [], "host string, disallow_prefixes array<string>, "
+                    "fetched_round int")
+        hosts = candidates.select(
+            host_col(F.col("url")).alias("host")).distinct()
+        fresh = self._robots_dynamic.filter(
+            F.col("fetched_round") > round_id - cfg.robots_ttl_rounds)
+        todo = hosts.join(fresh.select("host"), "host", "left_anti")
+        factory = self.fetch_fn_factory
+        if factory is None:
+            from .sources.fetch import make_http_fetch
+            factory = make_http_fetch
+        ua = cfg.robots_user_agent
+
+        def kernel(batches):
+            import pandas as pd
+
+            from crawler_seo_spark.operators.robots import parse_robots_txt
+            fetch = factory()
+            for pdf in batches:
+                rows = []
+                for host in pdf["host"]:
+                    try:
+                        r = fetch(f"https://{host}/robots.txt")
+                        body = r["html"] if r["status_code"] == 200 else ""
+                    except Exception:
+                        body = ""
+                    rows.append({"host": host,
+                                 "disallow_prefixes":
+                                     parse_robots_txt(body or "", ua)})
+                yield pd.DataFrame(rows,
+                                   columns=["host", "disallow_prefixes"])
+
+        fetched = (todo.mapInPandas(
+            kernel, "host string, disallow_prefixes array<string>")
+            .withColumn("fetched_round", F.lit(round_id)))
+        self._robots_dynamic = (
+            self._robots_dynamic
+            .join(fetched.select("host"), "host", "left_anti")
+            .unionByName(fetched)
+            .localCheckpoint(eager=True))
 
     @staticmethod
     def _fill_missing(batch: DataFrame, result_found: DataFrame) -> DataFrame:
@@ -462,6 +519,13 @@ class CrawlEngine:
             else:
                 new_links = candidates.join(seen.select("url"), "url",
                                             "left_anti")
+            if self.pages is None and cfg.fetch_robots:
+                # live robots acquisition gates admission alongside any
+                # injected static rules (allow-all for unknown hosts)
+                self._refresh_robots(new_links, round_id)
+                new_links = filter_allowed(
+                    new_links,
+                    self._robots_dynamic.select("host", "disallow_prefixes"))
             new_links = filter_allowed(new_links, self.robots)
             t_prune = time.monotonic()
 

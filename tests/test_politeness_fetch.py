@@ -141,6 +141,58 @@ def test_robots_table_from_texts_blocks(spark):
                     "https://other.test/blog/x"}
 
 
+def test_live_robots_fetch_gates_admission(spark):
+    """LIVE mode with fetch_robots=True must fetch /robots.txt per host
+    through the injected fetcher, cache the parsed rules, and change the
+    crawl accordingly: /blog/ urls disallowed -> never crawled, never
+    registered; with fetch_robots=False (default, reference parity) the
+    same fetcher serving the same robots body changes nothing."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL,
+        live_fetch_factory,
+    )
+
+    n = 150
+    robots_body = "User-agent: *\nDisallow: /blog/\n"
+
+    def robots_factory():
+        inner = live_fetch_factory(n)()
+
+        def fetch(url: str) -> dict:
+            if url.endswith("/robots.txt"):
+                return {"status_code": 200, "content_type": "text/plain",
+                        "final_url": url, "response_time_ms": 1.0,
+                        "content_length": len(robots_body),
+                        "html": robots_body, "headers": {}}
+            return inner(url)
+        return fetch
+
+    cfg_off = CrawlConfig(seed_url=SEED_URL, max_urls=60, batch_size=15,
+                          requests_per_second=1e9)
+    cfg_on = CrawlConfig(seed_url=SEED_URL, max_urls=60, batch_size=15,
+                         requests_per_second=1e9, fetch_robots=True)
+    st_off = CrawlEngine(spark, None, cfg_off,
+                         fetch_fn_factory=robots_factory).run()
+    st_on = CrawlEngine(spark, None, cfg_on,
+                        fetch_fn_factory=robots_factory).run()
+
+    crawled_off = [r["url"] for r in
+                   st_off.crawl_order.orderBy("crawl_seq").collect()]
+    crawled_on = [r["url"] for r in
+                  st_on.crawl_order.orderBy("crawl_seq").collect()]
+    assert any("/blog/" in u for u in crawled_off)  # parity default
+    assert not any("/blog/" in u for u in crawled_on)
+    assert not any("/blog/" in r["url"] for r in st_on.seen.collect())
+    # the freed budget goes to other urls (frontier evolution legitimately
+    # differs once /blog/ urls stop entering rounds, so exact order is only
+    # comparable until the first suppressed admission)
+    assert len(crawled_on) == 60  # budget still filled
+    first_blog = next(i for i, u in enumerate(crawled_off) if "/blog/" in u)
+    assert crawled_on[:first_blog] == crawled_off[:first_blog]
+
+
 def test_live_mode_matches_store_mode(spark):
     """LIVE mode (pages=None + deterministic fetch kernel) must reproduce
     the store-join crawl EXACTLY — same order, same status codes, same
