@@ -63,6 +63,70 @@ def _cell(col: int, row: int, value) -> str:
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 
+# Conditional-format detection + rules mirror the reference's score/
+# severity formatting (reports/excel_generator.py:213-339): score columns
+# (name contains score/pontuação/nota) get >=80 green, 50-79 yellow, <50
+# red cell rules plus a 3-color scale; severity columns (gravidade/
+# crítico/médio) get contains-text CRÍTICO (red) / MÉDIO (orange) rules.
+_SCORE_WORDS = ("score", "pontuação", "nota")
+_SEVERITY_WORDS = ("gravidade", "crítico", "médio")
+# dxf ids (order in <dxfs> below): 0 high/green, 1 mid/yellow, 2 low/red,
+# 3 CRÍTICO (white on red), 4 MÉDIO (white on orange)
+_DXFS = (
+    '<dxfs count="5">'
+    '<dxf><font><color rgb="FF006100"/></font>'
+    '<fill><patternFill><bgColor rgb="FFC6EFCE"/></patternFill></fill></dxf>'
+    '<dxf><font><color rgb="FF9C6500"/></font>'
+    '<fill><patternFill><bgColor rgb="FFFFEB9C"/></patternFill></fill></dxf>'
+    '<dxf><font><color rgb="FF9C0006"/></font>'
+    '<fill><patternFill><bgColor rgb="FFFFC7CE"/></patternFill></fill></dxf>'
+    '<dxf><font><color rgb="FFFFFFFF"/></font>'
+    '<fill><patternFill><bgColor rgb="FFFF0000"/></patternFill></fill></dxf>'
+    '<dxf><font><color rgb="FFFFFFFF"/></font>'
+    '<fill><patternFill><bgColor rgb="FFFFA500"/></patternFill></fill></dxf>'
+    '</dxfs>')
+
+
+def _conditional_formatting(header: list[str], n_rows: int) -> str:
+    """<conditionalFormatting> blocks for score/severity columns."""
+    if n_rows == 0:
+        return ""
+    blocks = []
+    for c, name in enumerate(header):
+        low = str(name).lower()
+        ref = f"{_col_letter(c)}2:{_col_letter(c)}{n_rows + 1}"
+        first = f"{_col_letter(c)}2"
+        if any(w in low for w in _SCORE_WORDS):
+            blocks.append(
+                f'<conditionalFormatting sqref="{ref}">'
+                f'<cfRule type="cellIs" dxfId="0" priority="1" '
+                f'operator="greaterThanOrEqual"><formula>80</formula></cfRule>'
+                f'<cfRule type="cellIs" dxfId="1" priority="2" '
+                f'operator="between"><formula>50</formula>'
+                f'<formula>79</formula></cfRule>'
+                f'<cfRule type="cellIs" dxfId="2" priority="3" '
+                f'operator="lessThan"><formula>50</formula></cfRule>'
+                f'<cfRule type="colorScale" priority="4"><colorScale>'
+                f'<cfvo type="min"/><cfvo type="percentile" val="50"/>'
+                f'<cfvo type="max"/><color rgb="FFF8696B"/>'
+                f'<color rgb="FFFFEB84"/><color rgb="FF63BE7B"/>'
+                f'</colorScale></cfRule>'
+                f'</conditionalFormatting>')
+        elif any(w in low for w in _SEVERITY_WORDS):
+            blocks.append(
+                f'<conditionalFormatting sqref="{ref}">'
+                f'<cfRule type="containsText" dxfId="3" priority="1" '
+                f'operator="containsText" text="CRÍTICO">'
+                f'<formula>NOT(ISERROR(SEARCH("CRÍTICO",{first})))</formula>'
+                f'</cfRule>'
+                f'<cfRule type="containsText" dxfId="4" priority="2" '
+                f'operator="containsText" text="MÉDIO">'
+                f'<formula>NOT(ISERROR(SEARCH("MÉDIO",{first})))</formula>'
+                f'</cfRule>'
+                f'</conditionalFormatting>')
+    return "".join(blocks)
+
+
 def _sheet_xml(header: list[str], rows: list[tuple]) -> str:
     widths = [len(str(h)) for h in header]
     body = []
@@ -85,7 +149,9 @@ def _sheet_xml(header: list[str], rows: list[tuple]) -> str:
         f'<pane ySplit="1" topLeftCell="A2" state="frozen"/>'
         f'</sheetView></sheetViews>'
         f'<cols>{cols}</cols>'
-        f'<sheetData>{"".join(body)}</sheetData></worksheet>')
+        f'<sheetData>{"".join(body)}</sheetData>'
+        f'{_conditional_formatting(header, len(rows))}'
+        f'</worksheet>')
 
 
 _STYLES = (
@@ -96,7 +162,8 @@ _STYLES = (
     '<fill><patternFill patternType="gray125"/></fill></fills>'
     '<borders count="1"><border/></borders>'
     '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
-    '<cellXfs count="1"><xf/></cellXfs></styleSheet>')
+    '<cellXfs count="1"><xf/></cellXfs>'
+    f'{_DXFS}</styleSheet>')
 
 
 def _sanitize_name(name: str, taken: set[str]) -> str:

@@ -141,6 +141,27 @@ def test_write_xlsx_workbook(runs, tmp_path):
         assert len(rows) == 121
         for part in sheet_parts:
             ET.fromstring(z.read(part))
+        # conditional score formats (reference excel_generator.py:213-339):
+        # dxf styles present, and every sheet with a score column carries
+        # the >=80 / 50-79 / <50 cell rules + a 3-color scale on it
+        styles = ET.fromstring(z.read("xl/styles.xml"))
+        dxfs = styles.find(f"{ns}dxfs")
+        assert dxfs is not None and len(dxfs) == 5
+        with_rules = 0
+        for idx, name in enumerate(sheet_names, start=1):
+            sheet = ET.fromstring(z.read(f"xl/worksheets/sheet{idx}.xml"))
+            hdr_cells = [t.text or "" for t in
+                         list(sheet.iter(f"{ns}row"))[0].iter(f"{ns}t")]
+            score_cols = [h for h in hdr_cells if "score" in h.lower()]
+            cfs = sheet.findall(f"{ns}conditionalFormatting")
+            if score_cols:
+                assert len(cfs) >= len(score_cols), name
+                kinds = [r.get("type") for cf in cfs
+                         for r in cf.iter(f"{ns}cfRule")]
+                assert kinds.count("cellIs") >= 3 * len(score_cols)
+                assert "colorScale" in kinds
+                with_rules += 1
+        assert with_rules >= 5  # Score columns appear across most tabs
 
 
 def test_write_report_counts_single_pass(runs, tmp_path):
