@@ -124,16 +124,49 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
         schema="image_id string, bytes binary, w int, h int, fmt string")
 
 
-def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — plumbing only. The kernel raises
-    ``NotImplementedError`` because no video codec exists in this container;
-    schema/batching are the stable contract a real ffmpeg kernel drops into."""
+def frame_sample(df: DataFrame, every_n: int = 30, width: int = 64,
+                 height: int = 64) -> DataFrame:
+    """EXPERIMENTAL video frame sampling: every ``every_n``-th frame,
+    scaled to ``width``×``height`` rgb24 raw bytes.
+
+    The decode kernel is gated on an OPTIONAL dependency probe: when the
+    ``ffmpeg`` CLI is on PATH in the worker environment, each task pipes
+    the payload through ``ffmpeg -f rawvideo`` with a ``select=not(mod(n,
+    every_n))`` filter; when it is not (this container has no video
+    codec), the task raises ``NotImplementedError`` — the operator never
+    silently returns wrong/empty frames. Schema, batching, and the
+    per-row error contract are the stable surface; the ffmpeg path is
+    exercised only by the skipif-gated test (tests/test_images.py)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/pyav — unavailable in this "
-            "container; plug the real kernel here")
-        yield  # pragma: no cover
+        import shutil
+        import subprocess
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is None:
+            raise NotImplementedError(
+                "video decode requires the ffmpeg CLI on PATH — "
+                "unavailable in this container; frame_sample is "
+                "EXPERIMENTAL until a codec is present")
+        frame_bytes = width * height * 3
+        for pdf in batches:
+            ids, nos, payloads = [], [], []
+            for row in pdf.itertuples(index=False):
+                proc = subprocess.run(
+                    [ffmpeg, "-v", "error", "-i", "pipe:0",
+                     "-vf", (f"select=not(mod(n\\,{every_n})),"
+                             f"scale={width}:{height}"),
+                     "-fps_mode", "vfr", "-f", "rawvideo",
+                     "-pix_fmt", "rgb24", "pipe:1"],
+                    input=bytes(row.bytes), capture_output=True)
+                frames = proc.stdout if proc.returncode == 0 else b""
+                for k in range(len(frames) // frame_bytes):
+                    ids.append(row.image_id)
+                    nos.append(k * every_n)
+                    payloads.append(
+                        frames[k * frame_bytes:(k + 1) * frame_bytes])
+            yield pd.DataFrame({"image_id": pd.Series(ids, dtype=object),
+                                "frame_no": pd.Series(nos, dtype="int32"),
+                                "bytes": pd.Series(payloads, dtype=object)})
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         kernel,

@@ -232,7 +232,14 @@ def test_multimodal_decode_validate_resize(spark):
     assert dbad[0]["ok"] is False and dbad[0]["err"]
 
 
-def test_frame_sample_is_stubbed(spark):
+def test_frame_sample_probe_raises_without_ffmpeg(spark):
+    """frame_sample is EXPERIMENTAL behind an ffmpeg probe: the operator
+    contract (schema) is stable, and without the ffmpeg CLI the task
+    raises instead of silently returning wrong/empty frames."""
+    import shutil
+
+    import pytest as _pt
+
     from crawler_seo_spark.operators.multimodal import frame_sample
     from crawler_seo_spark.sources.images import generate_images
     df = spark.createDataFrame(
@@ -242,10 +249,35 @@ def test_frame_sample_is_stubbed(spark):
     out = frame_sample(df)
     assert out.schema.simpleString() == \
         "struct<image_id:string,frame_no:int,bytes:binary>"
-    import pytest as _pt
-    from py4j.protocol import Py4JJavaError
-    with _pt.raises(Exception):
-        out.collect()
+    if shutil.which("ffmpeg") is None:
+        with _pt.raises(Exception, match="(?i)ffmpeg|NotImplemented"):
+            out.collect()
+    else:  # pragma: no cover - container has no ffmpeg
+        out.collect()  # real kernel path: must not raise
+
+
+@pytest.mark.skipif(__import__("shutil").which("ffmpeg") is None,
+                    reason="ffmpeg CLI not available in this container")
+def test_frame_sample_real_kernel(spark):  # pragma: no cover
+    """With ffmpeg present: every_n-th frames come back as fixed-size
+    rgb24 payloads with original frame indices."""
+    import subprocess
+    import tempfile
+
+    from crawler_seo_spark.operators.multimodal import frame_sample
+    path = tempfile.mktemp(suffix=".mp4")
+    subprocess.run(["ffmpeg", "-v", "error", "-f", "lavfi",
+                    "-i", "testsrc=duration=2:size=64x64:rate=30",
+                    path], check=True)
+    with open(path, "rb") as f:
+        payload = f.read()
+    df = spark.createDataFrame([("vid-0", payload, "mp4")],
+                               "image_id string, bytes binary, fmt string")
+    rows = frame_sample(df, every_n=30, width=8, height=8).collect()
+    assert len(rows) == 2  # 60 frames, every 30th
+    assert [r["frame_no"] for r in sorted(rows, key=lambda r: r["frame_no"])] \
+        == [0, 30]
+    assert all(len(r["bytes"]) == 8 * 8 * 3 for r in rows)
 
 
 def test_caption_validation_against_crawl(spark, pages_df, small_site):
