@@ -25,6 +25,7 @@ link position on the page) within each round — never from
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -330,6 +331,17 @@ class CrawlEngine:
         rounds: list[dict] = []
         n_parts = self.spark.sparkContext.defaultParallelism
 
+        pending_publish: tuple | None = None
+
+        def _join_pending() -> None:
+            nonlocal pending_publish
+            if pending_publish is not None:
+                th, errs = pending_publish
+                th.join()
+                pending_publish = None
+                if errs:
+                    raise errs[0]
+
         manifest = None
         if resume and self.store is not None:
             # reclaim markers orphaned by a crash between marker claim and
@@ -382,6 +394,15 @@ class CrawlEngine:
             # (priority DESC, discovery_seq ASC) order with no single
             # reducer, take rank < budget. Identical batch either way.
             dequeue_order = [F.desc("priority"), F.asc("discovery_seq")]
+            # LIVE mode fuses the whole dequeue→schedule→fetch→parse chain
+            # into ONE materialization (the result checkpoint): the fused
+            # kernel emits exactly one row per batch row, so the batch has
+            # a single consumer and needs no eager pin of its own — one
+            # driver barrier per round instead of two. Store mode keeps the
+            # pin: _fill_missing and the frontier delete re-consume the
+            # batch, and without the pin every result row would keep the
+            # full-frontier rank checkpoint alive (O(rounds × frontier)).
+            pin_batch = self.pages is not None
             if budget >= cfg.seq_window_threshold:
                 from .operators.sequence import global_sequence
                 batch = (global_sequence(frontier, dequeue_order, "_rank")
@@ -390,13 +411,7 @@ class CrawlEngine:
                                      (F.col("_rank") + F.lit(results_count))
                                      .cast("long"))
                          .drop("_rank")
-                         .withColumn("round", F.lit(round_id))
-                         # pin the budget-sized batch: without this, every
-                         # result row keeps a reference to global_sequence's
-                         # FULL-frontier checkpoint (O(rounds × frontier)
-                         # pinned storage) and each consumer re-runs the
-                         # frontier-wide rank window
-                         .localCheckpoint(eager=True))
+                         .withColumn("round", F.lit(round_id)))
             else:
                 batch = (frontier.orderBy(*dequeue_order).limit(budget))
                 w = Window.orderBy(*dequeue_order)
@@ -404,8 +419,9 @@ class CrawlEngine:
                          .withColumn("crawl_seq",
                                      F.row_number().over(w).cast("long") - 1
                                      + F.lit(results_count).cast("long"))
-                         .withColumn("round", F.lit(round_id))
-                         .localCheckpoint(eager=True))
+                         .withColumn("round", F.lit(round_id)))
+            if pin_batch:
+                batch = batch.localCheckpoint(eager=True)
             # no count() job: the dequeue takes exactly min(budget, frontier)
             # rows — frontier_count is exact by arithmetic (unique urls).
             batch_count = min(budget, frontier_count)
@@ -468,8 +484,17 @@ class CrawlEngine:
                             "scheduled_offset_ms",
                             "analysis")
                 ).localCheckpoint(eager=True)
-            result = result_found.unionByName(
-                self._fill_missing(batch, result_found))
+            if self.pages is None:
+                # the fused live kernel emitted a row for EVERY batch url
+                # (network errors come back as status rows) — no 404 fill,
+                # and downstream consumers use the checkpointed result as
+                # the dequeued-url set
+                result = result_found
+            else:
+                result = result_found.unionByName(
+                    self._fill_missing(batch, result_found))
+            dequeued_urls = (result_found.select("url") if self.pages is None
+                             else batch.select("url"))
             # P2 plug-in analyzers: column pipelines over the round's result
             for analyzer_fn in self.analyzers:
                 result = analyzer_fn(result)
@@ -593,7 +618,7 @@ class CrawlEngine:
                 frontier = self.store.merge_into(
                     self.spark, "frontier", new_frontier, on="url",
                     round_id=round_id, target=frontier,
-                    delete_keys=batch.select("url"), assume_disjoint=True)
+                    delete_keys=dequeued_urls, assume_disjoint=True)
                 seen = self.store.merge_into(
                     self.spark, "seen", new_seen, on="url",
                     round_id=round_id, target=seen, assume_disjoint=True)
@@ -601,7 +626,7 @@ class CrawlEngine:
                 # In-memory mode: repartition pins the partition count
                 # (unions otherwise grow it every round) and hash-partitions
                 # on url so the next round's anti-joins are co-located.
-                remaining = frontier.join(F.broadcast(batch.select("url")),
+                remaining = frontier.join(F.broadcast(dequeued_urls),
                                           "url", "left_anti")
                 frontier = (remaining.unionByName(new_frontier)
                             .repartition(n_parts, "url")
@@ -645,11 +670,31 @@ class CrawlEngine:
 
             if self.store is not None:
                 # frontier/seen snapshots were already published by the
-                # MERGE INTO above; the commit marker makes them visible.
-                self.store.write("results", result, round_id)
-                self.store.commit_round(round_id, rounds[-1])
+                # MERGE INTO above; the results write + commit marker run
+                # in a BACKGROUND thread overlapping the next round's
+                # dequeue (concurrent driver-thread jobs are a supported
+                # Spark pattern). Ordering: the previous round's publish is
+                # joined before this one starts, so commits stay
+                # sequential; a crash mid-overlap leaves the previous
+                # round committed — the same consistency as before, one
+                # round-barrier cheaper per round.
+                _join_pending()
+                publish_errs: list[BaseException] = []
+
+                def _publish(res=result, rid=round_id, cnt=rounds[-1],
+                             errs=publish_errs):
+                    try:
+                        self.store.write("results", res, rid)
+                        self.store.commit_round(rid, cnt)
+                    except BaseException as e:  # re-raised at next join
+                        errs.append(e)
+
+                th = threading.Thread(target=_publish, daemon=True)
+                th.start()
+                pending_publish = (th, publish_errs)
             round_id += 1
 
+        _join_pending()  # last round's overlapped publish must land
         if self.store is not None:
             # the returned state must outlive the store contents — a later
             # run over the same checkpoint dir may rewrite these round dirs

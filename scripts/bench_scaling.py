@@ -161,9 +161,13 @@ def run_suite(cores: int) -> dict[str, float]:
         SEED_URL, doc_url, live_fetch_factory)
     n_virtual = 1_200_000        # virtual origin size (pages on demand)
     factory = live_fetch_factory(n_virtual)
-    seeds = [doc_url(i) for i in range(0, n_virtual, n_virtual // 2000)]
+    seeds = [doc_url(i) for i in range(0, n_virtual, n_virtual // 4000)]
+    # ≥200k-URL rounds (round-3 protocol): the amortizing-round regime the
+    # 10^10 design point lives in — the fixed ~2 s round barrier must be
+    # <2% of a round, measured rather than modeled (round-2 rounds were
+    # 80k and barrier-bound at 4N).
     cfg = CrawlConfig(seed_url=SEED_URL, seed_urls=seeds,
-                      max_urls=250_000, batch_size=80_000,
+                      max_urls=600_000, batch_size=200_000,
                       requests_per_second=1e9,   # no pacing: benchmark mode
                       seq_window_threshold=40_000)  # distributed order paths
     n_holder = {}
@@ -182,7 +186,7 @@ def run_suite(cores: int) -> dict[str, float]:
                                "t_fetch_parse_ms", "t_prune_ms", "t_seq_ms",
                                "t_merge_ms", "wall_ms")}
             for r in state.rounds]
-    timings["w3_crawl_rounds"] = best_of(2, w3)
+    timings["w3_crawl_rounds"] = best_of(1, w3)
     timings["w3_urls"] = float(n_holder["n"])
     timings["w3_steady_urls"] = float(n_holder["ss_urls"])
     timings["w3_steady_s"] = n_holder["ss_ms"] / 1000.0
@@ -286,7 +290,7 @@ def _suite_subprocess(cores: int) -> dict[str, float]:
     import subprocess
     out = subprocess.run(
         [sys.executable, __file__, str(REP), f"--suite={cores}"],
-        capture_output=True, text=True, timeout=1500)
+        capture_output=True, text=True, timeout=2400)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
