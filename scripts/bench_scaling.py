@@ -204,8 +204,19 @@ def run_suite(cores: int) -> dict[str, float]:
         state = CrawlEngine(spark, None, wcfg,
                             fetch_fn_factory=factory).run()
         n_holder["wn"] = state.crawl_order.count()
+        # steady-state weak rounds: full batch-size rounds only. The ramp
+        # from 4000 seeds up to a 25k·cores batch is identical in absolute
+        # size at both levels, so the 4N run spends proportionally more
+        # wall inside it; the rule's regime (4× executors ingesting 4×
+        # rounds) is the full-size rounds.
+        heavy = [r for r in state.rounds
+                 if r["dequeued"] >= wcfg.batch_size // 2]
+        n_holder["wss_urls"] = sum(r["dequeued"] for r in heavy)
+        n_holder["wss_ms"] = sum(r["wall_ms"] for r in heavy)
     timings["w3_weak"] = best_of(1, w3w)
     timings["w3_weak_urls"] = float(n_holder["wn"])
+    timings["w3_weak_steady_urls"] = float(n_holder["wss_urls"])
+    timings["w3_weak_steady_s"] = n_holder["wss_ms"] / 1000.0
     timings["n_docs"] = float(n_docs)
     spark.stop()
     time.sleep(2)
@@ -342,6 +353,18 @@ def main() -> None:
             "efficiency": round(
                 (r_big["w3_weak_urls"] / r_big["w3_weak"])
                 / (4 * r_small["w3_weak_urls"] / r_small["w3_weak"]), 3),
+        },
+        "crawl_weak_steady_state": {
+            f"urls_per_sec_local[{N_SMALL}]":
+                round(r_small["w3_weak_steady_urls"]
+                      / r_small["w3_weak_steady_s"], 1),
+            f"urls_per_sec_local[{N_BIG}]":
+                round(r_big["w3_weak_steady_urls"]
+                      / r_big["w3_weak_steady_s"], 1),
+            "efficiency": round(
+                (r_big["w3_weak_steady_urls"] / r_big["w3_weak_steady_s"])
+                / (4 * r_small["w3_weak_steady_urls"]
+                   / r_small["w3_weak_steady_s"]), 3),
         },
         "images_validated_per_sec": {
             f"local[{N_SMALL}]": round(
