@@ -177,6 +177,15 @@ class CrawlConfig:
     # that the prune pays for its build/probe jobs; below this the exact
     # anti-join alone is cheaper. 0 = always on (tests).
     bloom_min_seen: int = 100_000
+    # ...and only once the seen set dwarfs a round's dequeue: the prune
+    # saves work by bypassing anti-join probes against a seen table much
+    # larger than the candidate set (the 10^10 regime: seen/batch ≈ 10^3).
+    # While seen is within a few batches of the round size, probing the
+    # filter costs more than the join it avoids (measured: 200k-URL
+    # rounds at seen≈3×batch run ~20% faster with the filter cold).
+    # Activation = seen ≥ bloom_min_seen AND seen ≥ ratio × batch;
+    # 0 disables the ratio term (tests force the filter path with it).
+    bloom_seen_batch_ratio: float = 8.0
     # Candidate counts at or above this use the distributed prefix-sum
     # sequence assignment instead of a single-task window.
     seq_window_threshold: int = 200_000

@@ -403,15 +403,23 @@ class CrawlEngine:
             # batch, and without the pin every result row would keep the
             # full-frontier rank checkpoint alive (O(rounds × frontier)).
             pin_batch = self.pages is not None
+            undequeued = None
             if budget >= cfg.seq_window_threshold:
                 from .operators.sequence import global_sequence
-                batch = (global_sequence(frontier, dequeue_order, "_rank")
+                ranked = global_sequence(frontier, dequeue_order, "_rank")
+                batch = (ranked
                          .filter(F.col("_rank") < budget)
                          .withColumn("crawl_seq",
                                      (F.col("_rank") + F.lit(results_count))
                                      .cast("long"))
                          .drop("_rank")
                          .withColumn("round", F.lit(round_id)))
+                # the rank's complement IS the post-dequeue frontier — a
+                # narrow filter over the same pinned ranking, replacing the
+                # per-round broadcast-anti-join of the dequeued urls
+                # against the full frontier in the in-memory merge below
+                undequeued = (ranked.filter(F.col("_rank") >= budget)
+                              .drop("_rank"))
             else:
                 batch = (frontier.orderBy(*dequeue_order).limit(budget))
                 w = Window.orderBy(*dequeue_order)
@@ -518,18 +526,27 @@ class CrawlEngine:
                 .filter(F.col("url").isNotNull())
             )
             # within-round first occurrence wins (reference: first add_url
-            # registers, later ones are duplicates — url_manager.py:207-220)
-            first_w = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
+            # registers, later ones are duplicates — url_manager.py:207-220).
+            # min(struct) is the lexicographic first (parent_seq, link_pos)
+            # per url — same rows a row_number window selects, but as an
+            # aggregate it gets MAP-SIDE partial combine: within-partition
+            # duplicates collapse before the shuffle, which a window can
+            # never do.
             candidates = (candidates
-                          .withColumn("_rn", F.row_number().over(first_w))
-                          .filter(F.col("_rn") == 1).drop("_rn"))
+                          .groupBy("url")
+                          .agg(F.min(F.struct("parent_seq", "link_pos",
+                                              "parent_depth")).alias("_f"))
+                          .select("url", "_f.parent_seq", "_f.link_pos",
+                                  "_f.parent_depth"))
 
             # --- J1: bloom prune + exact anti-join, then robots -----------------
             # The Bloom prefilter is the 10^10-scale scan-saver; below the
             # threshold its build/probe jobs cost more than the plain
             # anti-join, so it stays cold (exactness is identical either
             # way — the prune only bypasses join probes).
-            if not bloom_active and seen_count >= cfg.bloom_min_seen:
+            if (not bloom_active and seen_count >= cfg.bloom_min_seen
+                    and seen_count
+                    >= cfg.bloom_seen_batch_ratio * batch_count):
                 # backfill once — unless the reopened file-backed filter
                 # already carries state (resume path). A crash between the
                 # filter write and the round commit can leave the replayed
@@ -568,11 +585,22 @@ class CrawlEngine:
                 # big-round regime (dequeue size is the cheap proxy for the
                 # candidate count): ONE pinned prefix-sum pass both numbers
                 # the links and yields the enqueue count — no separate
-                # checkpoint or count job.
-                from .operators.sequence import global_sequence
-                numbered, enqueued = global_sequence(
-                    new_links, order_cols, "discovery_seq",
-                    start=next_discovery_seq, with_total=True)
+                # checkpoint or count job. parent_seq is contiguous in
+                # [results_count - batch_count, results_count), so the
+                # order-monotone bucket is pure arithmetic — no
+                # repartitionByRange sampling job, which would re-evaluate
+                # the whole explode→dedup→prune pipeline a second time.
+                # 4× buckets per partition so hash placement stays balanced.
+                from .operators.sequence import global_sequence_arith
+                seq_base = results_count - batch_count
+                n_buckets = 4 * n_parts
+                pid = F.floor(
+                    (F.col("parent_seq") - F.lit(seq_base).cast("long"))
+                    * F.lit(n_buckets) / F.lit(batch_count))
+                numbered, enqueued = global_sequence_arith(
+                    new_links, pid, order_cols, "discovery_seq",
+                    start=next_discovery_seq, num_partitions=n_parts,
+                    with_total=True)
             else:
                 # small rounds: checkpoint + observed count + one-task window
                 from pyspark.sql import Observation
@@ -626,8 +654,14 @@ class CrawlEngine:
                 # In-memory mode: repartition pins the partition count
                 # (unions otherwise grow it every round) and hash-partitions
                 # on url so the next round's anti-joins are co-located.
-                remaining = frontier.join(F.broadcast(dequeued_urls),
-                                          "url", "left_anti")
+                # Big-path rounds reuse the dequeue ranking's complement
+                # (narrow filter over the pinned rank checkpoint); small
+                # rounds fall back to the broadcast anti-join.
+                if undequeued is not None:
+                    remaining = undequeued
+                else:
+                    remaining = frontier.join(F.broadcast(dequeued_urls),
+                                              "url", "left_anti")
                 frontier = (remaining.unionByName(new_frontier)
                             .repartition(n_parts, "url")
                             .localCheckpoint(eager=True))

@@ -74,6 +74,60 @@ def global_sequence(df: DataFrame, order_by: list[Column], out_col: str,
     return (out, acc - start) if with_total else out
 
 
+def global_sequence_arith(df: DataFrame, pid: Column,
+                          order_by: list[Column], out_col: str,
+                          start: int = 0,
+                          num_partitions: int | None = None,
+                          with_total: bool = False):
+    """Prefix-sum sequence like :func:`global_sequence`, but the partition
+    id is computed by ARITHMETIC instead of ``repartitionByRange``.
+
+    ``repartitionByRange`` must first run a range-boundary *sampling job*,
+    which re-evaluates the whole upstream plan once before the real
+    shuffle evaluates it again — ruinous when the input's lineage is an
+    expensive pipeline (explode → dedup → filter-probe). When the sort key
+    is arithmetically mappable to a balanced, order-monotone bucket (e.g.
+    a contiguous ``parent_seq`` range), the caller passes that bucket as
+    ``pid`` and the sampling pass disappears: one hash shuffle on ``pid``,
+    one checkpoint, one tiny count aggregate.
+
+    Correctness requirement on ``pid``: for any two rows a, b with
+    ``order_by(a) < order_by(b)``, ``pid(a) <= pid(b)`` — i.e. buckets
+    partition the total order into contiguous runs.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    arranged = (
+        df.withColumn("_pid", pid.cast("int"))
+          .repartition(n, "_pid")
+          .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in arranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+        .collect())
+    if not counts:
+        empty = (arranged.drop("_pid")
+                 .withColumn(out_col, F.lit(start).cast("long")))
+        return (empty, 0) if with_total else empty
+    offsets, acc = {}, start
+    for p, c in counts:
+        offsets[p] = acc
+        acc += c
+    off_expr = F.coalesce(
+        F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in offsets]),
+                F.array(*[F.lit(o).cast("long") for o in offsets.values()])),
+            F.col("_pid")),
+        F.lit(0).cast("long"))
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    out = (arranged
+           .withColumn(out_col,
+                       F.row_number().over(w).cast("long") - 1 + off_expr)
+           .drop("_pid"))
+    return (out, acc - start) if with_total else out
+
+
 def global_sequence_small(df: DataFrame, order_by: list[Column], out_col: str,
                           start: int = 0) -> DataFrame:
     """Window-based variant for *small* inputs (a dequeued batch): a single

@@ -83,7 +83,7 @@ def test_bloom_path_exact(spark, small_site, pages_df):
     results must be identical (false positives only cost join probes)."""
     oracle, engine = _run_both(spark, small_site, pages_df,
                                max_urls=80, batch_size=20, smart=True,
-                               bloom_min_seen=0, bloom_shards=8,
+                               bloom_min_seen=0, bloom_seen_batch_ratio=0, bloom_shards=8,
                                bloom_bits_per_shard=1 << 14)
     assert any(r["bloom_active"] for r in engine.rounds)
     got = [r["url"] for r in engine.crawl_order.orderBy("crawl_seq").collect()]
@@ -98,7 +98,7 @@ def test_cuckoo_filter_path_exact(spark, small_site, pages_df):
     exact anti-join)."""
     oracle, engine = _run_both(spark, small_site, pages_df,
                                max_urls=80, batch_size=20, smart=True,
-                               bloom_min_seen=0, bloom_shards=8,
+                               bloom_min_seen=0, bloom_seen_batch_ratio=0, bloom_shards=8,
                                seen_filter="cuckoo",
                                cuckoo_buckets_per_shard=1 << 11)
     assert any(r["bloom_active"] for r in engine.rounds)

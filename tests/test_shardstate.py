@@ -122,7 +122,7 @@ def test_engine_checkpoint_carries_filter_state(spark, pages_df, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     pages = pages_df
     cfg = CrawlConfig(seed_url=SEED_URL, max_urls=30, batch_size=10,
-                      checkpoint_dir=ckpt, bloom_min_seen=5)
+                      checkpoint_dir=ckpt, bloom_min_seen=5, bloom_seen_batch_ratio=0)
     eng = CrawlEngine(spark, pages, cfg)
     eng.run()
     assert eng.bloom.n_inserted > 0

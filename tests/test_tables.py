@@ -96,7 +96,7 @@ def test_fresh_run_over_stale_checkpoint(spark, pages_df, tmp_path):
                 for r in state.crawl_order.orderBy("crawl_seq").collect()]
     ckpt = str(tmp_path / "ckpt")
     cfg = CrawlConfig(seed_url=SEED_URL, max_urls=24, batch_size=8,
-                      checkpoint_dir=ckpt, bloom_min_seen=5)
+                      checkpoint_dir=ckpt, bloom_min_seen=5, bloom_seen_batch_ratio=0)
     first = CrawlEngine(spark, pages_df, cfg).run()
     eng2 = CrawlEngine(spark, pages_df, cfg)
     assert eng2.bloom.n_inserted > 0  # stale filter state reopened...
