@@ -257,6 +257,12 @@ class ShardedBloom:
         spark = candidates.sparkSession
         probed = hashed.withColumn(
             "_maybe", self.maybe_seen_col(spark)(F.col("_bh1"), F.col("_bh2")))
+        # Pin the probed batch (lazy — materializes inside the consumer's
+        # first job): the two union branches below are separate plan
+        # subtrees, and without the pin Spark re-evaluates the probe UDF
+        # AND its whole post-exchange upstream once per branch — double
+        # Arrow crossings of every candidate row.
+        probed = probed.localCheckpoint(eager=False)
         definitely_new = probed.filter(~F.col("_maybe"))
         maybe = probed.filter(F.col("_maybe"))
         survivors = maybe.join(seen.select(F.col(url_col)), url_col, "left_anti")

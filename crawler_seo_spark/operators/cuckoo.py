@@ -338,6 +338,9 @@ class ShardedCuckoo:
         probed = hashed.withColumn(
             "_maybe",
             self.maybe_seen_col(spark)(F.col("_ch1"), F.col("_ch2")))
+        # lazy pin: the union branches otherwise re-evaluate the probe UDF
+        # and its upstream once each (see ShardedBloom.prune_new)
+        probed = probed.localCheckpoint(eager=False)
         definitely_new = probed.filter(~F.col("_maybe"))
         maybe = probed.filter(F.col("_maybe"))
         survivors = maybe.join(seen.select(F.col(url_col)), url_col,
