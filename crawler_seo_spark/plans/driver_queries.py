@@ -1166,6 +1166,78 @@ def s_ivf_kmeans(spark, sf_dir):
     return ivf_assign_with(emb, trained).select("vec_id", "ivf_list")
 
 
+@q("s_ann_ivf_topk", """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 4),
+qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id < 3),
+-- probe-list selection: nprobe=2 nearest centroids per query (plain
+-- cosine, unguarded norms — mirrors ivf_topk's F.transform sims)
+qsim AS (
+  SELECT q.query_id, c.cid,
+         list_dot_product(list_transform(q.embedding, x -> x::DOUBLE), cv)
+         / (sqrt(list_dot_product(list_transform(q.embedding,
+                                                 x -> x::DOUBLE),
+                 list_transform(q.embedding, x -> x::DOUBLE)))
+            * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM qs q CROSS JOIN c),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM qsim) WHERE rn <= 2),
+-- corpus assignment: argmax with first-index tie-break and zero-vector
+-- guard (identical to the s_ivf_assign oracle)
+vsim AS (
+  SELECT v.vec_id, c.cid,
+         list_dot_product(v.ev, cv)
+         / (greatest(sqrt(list_dot_product(v.ev, v.ev)), 1e-12)
+            * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) v
+  CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, cid AS ivf_list FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM vsim) WHERE rn = 1),
+-- score only the probed lists; rank on the 6-decimal-rounded cosine
+-- (cosine_col rounds before ranking) with corpus-id tie-break
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({cos}, 6) AS cos6
+  FROM probes p
+  JOIN assigned a ON a.ivf_list = p.cid
+  JOIN embeddings c ON c.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = p.query_id)
+SELECT query_id, vec_id, round(cos6, 4) AS cosine, rank FROM (
+  SELECT query_id, vec_id, cos6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+""".replace("{cos}", _COS_SQL))
+def s_ann_ivf_topk(spark, sf_dir):
+    """IVF SEARCH (the ANN scale path): route each query to its nprobe=2
+    nearest inverted lists, score ONLY those lists' vectors, rank per
+    query. Centroids are explicit (first 4 vectors — same convention as
+    s_ivf_assign) so DuckDB reproduces routing, assignment, and ranking
+    end-to-end. At 10^10 scale the assigned corpus is written bucketed by
+    ivf_list, so a probe scans nprobe/n_lists of the data; here the
+    list-routing join broadcasts the exploded (query, list) pairs."""
+    from ..operators.similarity import ivf_assign_with, ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [[float(x) for x in r[0]] for r in
+             emb.filter("vec_id < 4").orderBy("vec_id")
+             .select("embedding").collect()]
+    assigned = ivf_assign_with(emb, cents)
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(assigned, cents, queries, k=5, nprobe=2)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine"), 4).alias("cosine"), "rank")
+
+
 @q("m_validate_images")
 def m_validate_images(spark, sf_dir):
     """Image+caption payload validation (input_hint invariant): decode,
