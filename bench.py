@@ -122,10 +122,31 @@ def main() -> None:
                             "caption_ok").count()
     img_s = round(time.monotonic() - t0, 3)
     timings["m_validate_images_4k"] = img_s
-    extras["images_validated_per_sec"] = round(n_img / img_s, 2)
     extras["images_valid_fraction"] = round(n_ok / n_img, 4)
     print(f"  images: {n_img} validated in {img_s}s "
-          f"({extras['images_validated_per_sec']}/s, {n_ok} fully valid)",
+          f"({round(n_img / img_s, 2)}/s, {n_ok} fully valid)",
+          file=sys.stderr)
+
+    # headline throughput from a 24k run: the 4k pass finishes in well
+    # under a second at 32 cores, so fixed job overhead (scheduling, Arrow
+    # setup) dominates its rate; the larger pass amortizes it and is the
+    # steadier images-validated/sec figure (the _4k timing stays for
+    # round-over-round comparability)
+    n_big = 24_000
+    big_df = (spark.range(n_big).repartition(2 * CPUS)
+              .mapInPandas(gen_images,
+                           schema="image_id string, bytes binary, w int, "
+                                  "h int, fmt string, caption string, "
+                                  "phash long")
+              .localCheckpoint(eager=True))
+    t0 = time.monotonic()
+    n_ok_big = validate_images(big_df).filter(
+        "decode_ok AND pixels_ok AND phash_ok AND caption_ok").count()
+    big_s = round(time.monotonic() - t0, 3)
+    timings["m_validate_images_24k"] = big_s
+    extras["images_validated_per_sec"] = round(n_big / big_s, 2)
+    print(f"  images: {n_big} validated in {big_s}s "
+          f"({extras['images_validated_per_sec']}/s, {n_ok_big} fully valid)",
           file=sys.stderr)
 
     # --- the crawl engine (throughput headline) -------------------------------

@@ -131,7 +131,10 @@ def run_suite(cores: int) -> dict[str, float]:
     # W4: image validation (north-rule metric: images validated/sec) —
     # executor-side generate + decode/PSNR/phash/caption validation
     from crawler_seo_spark.operators.multimodal import validate_images
-    n_img = 12_000
+    # big enough that the ~1 s of fixed job overhead is <10% of the 4N
+    # wall — 12k finished in ~1.4 s at 8 cores, measuring scheduling
+    # latency more than the validation kernel
+    n_img = 36_000
 
     def gen_images(batches):
         import pandas as pd
