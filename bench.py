@@ -46,6 +46,12 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    # untimed warmup: first job pays JVM/codegen/noop-sink registration +
+    # parquet footer listing once — that's session setup, not query cost
+    # (q1 swung 4.9-7.5 s run-to-run with it folded in)
+    force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .limit(1000).select(F.count(F.lit(1)).alias("n")))
+
     # --- relational report stage ------------------------------------------
     timed("q1_pricing_summary",
           lambda: force(dq.q1_pricing_summary(spark, SF_DIR)))
