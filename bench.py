@@ -38,13 +38,25 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    # min-of-k (default 3): this host's shared hypervisor jitters single
+    # timings by up to 3× (BENCH.md calibration) — the r3 single-sample
+    # protocol could not classify a +42% drift. `queries` carries the min;
+    # `query_spread` carries max-min so a noisy sample is visible.
+    K = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
+
+    def timed(name: str, fn, k: int = K) -> None:
+        samples = []
+        for _ in range(k):
+            t0 = time.monotonic()
+            fn()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
+        print(f"  {name}: {timings[name]}s (spread {spreads[name]}s, k={k})",
+              file=sys.stderr)
 
     # untimed warmup: first job pays JVM/codegen/noop-sink registration +
     # parquet footer listing once — that's session setup, not query cost
@@ -95,6 +107,8 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     from crawler_seo_spark.operators.similarity import (
         brute_force_topk,
+        ivf_assign,
+        ivf_topk,
         lsh_bucketed_topk,
     )
     queries10 = emb.filter("vec_id < 10").select(
@@ -103,6 +117,11 @@ def main() -> None:
           lambda: force(brute_force_topk(emb, queries10, k=5)))
     timed("s_ann_lsh_topk",
           lambda: force(lsh_bucketed_topk(emb, queries10, k=5, n_planes=6)))
+
+    def ivf_bench():
+        assigned, cents = ivf_assign(emb, n_lists=16)
+        force(ivf_topk(assigned, cents, queries10, k=5, nprobe=2))
+    timed("s_ann_ivf_topk_16lists", ivf_bench)
 
     # --- image validation throughput (north-rule metric: images validated/s;
     # generation AND validation both run on the executors) --------------------
@@ -122,15 +141,17 @@ def main() -> None:
                                   "h int, fmt string, caption string, "
                                   "phash long")
               .localCheckpoint(eager=True))
-    t0 = time.monotonic()
-    validated = validate_images(img_df)
-    n_ok = validated.filter("decode_ok AND pixels_ok AND phash_ok AND "
-                            "caption_ok").count()
-    img_s = round(time.monotonic() - t0, 3)
-    timings["m_validate_images_4k"] = img_s
-    extras["images_valid_fraction"] = round(n_ok / n_img, 4)
+    counts: dict[str, int] = {}
+
+    def validate_count(name, df):
+        counts[name] = validate_images(df).filter(
+            "decode_ok AND pixels_ok AND phash_ok AND caption_ok").count()
+
+    timed("m_validate_images_4k", lambda: validate_count("4k", img_df))
+    img_s = timings["m_validate_images_4k"]
+    extras["images_valid_fraction"] = round(counts["4k"] / n_img, 4)
     print(f"  images: {n_img} validated in {img_s}s "
-          f"({round(n_img / img_s, 2)}/s, {n_ok} fully valid)",
+          f"({round(n_img / img_s, 2)}/s, {counts['4k']} fully valid)",
           file=sys.stderr)
 
     # headline throughput from a 24k run: the 4k pass finishes in well
@@ -145,15 +166,12 @@ def main() -> None:
                                   "h int, fmt string, caption string, "
                                   "phash long")
               .localCheckpoint(eager=True))
-    t0 = time.monotonic()
-    n_ok_big = validate_images(big_df).filter(
-        "decode_ok AND pixels_ok AND phash_ok AND caption_ok").count()
-    big_s = round(time.monotonic() - t0, 3)
-    timings["m_validate_images_24k"] = big_s
+    timed("m_validate_images_24k", lambda: validate_count("24k", big_df))
+    big_s = timings["m_validate_images_24k"]
     extras["images_validated_per_sec"] = round(n_big / big_s, 2)
     print(f"  images: {n_big} validated in {big_s}s "
-          f"({extras['images_validated_per_sec']}/s, {n_ok_big} fully valid)",
-          file=sys.stderr)
+          f"({extras['images_validated_per_sec']}/s, {counts['24k']} fully "
+          f"valid)", file=sys.stderr)
 
     # --- the crawl engine (throughput headline) -------------------------------
     from crawler_seo_spark.config import CrawlConfig
@@ -171,11 +189,15 @@ def main() -> None:
     seeds = [doc_url(i) for i in range(0, n_pages, max(1, n_pages // 800))]
     cfg = CrawlConfig(seed_url=SEED_URL, seed_urls=seeds,
                       max_urls=2400, batch_size=800)
-    t0 = time.monotonic()
-    state = CrawlEngine(spark, pages, cfg).run()
-    n_crawled = state.crawl_order.count()
-    crawl_s = round(time.monotonic() - t0, 3)
-    timings["crawl_bfs_2400"] = crawl_s
+    crawl_runs: dict[str, object] = {}
+
+    def run_store_crawl():
+        crawl_runs["state"] = CrawlEngine(spark, pages, cfg).run()
+        crawl_runs["n"] = crawl_runs["state"].crawl_order.count()
+
+    timed("crawl_bfs_2400", run_store_crawl)
+    state, n_crawled = crawl_runs["state"], crawl_runs["n"]
+    crawl_s = timings["crawl_bfs_2400"]
     extras["crawl_urls_per_sec"] = round(n_crawled / crawl_s, 2)
     print(f"  crawl: {n_crawled} urls in {crawl_s}s "
           f"({extras['crawl_urls_per_sec']}/s)", file=sys.stderr)
@@ -191,12 +213,14 @@ def main() -> None:
                        max_urls=60_000, batch_size=30_000,
                        requests_per_second=1e9,
                        seq_window_threshold=20_000)
-    t0 = time.monotonic()
-    lstate = CrawlEngine(spark, None, lcfg,
-                         fetch_fn_factory=live_fetch_factory(200_000)).run()
-    n_live = lstate.crawl_order.count()
-    live_s = round(time.monotonic() - t0, 3)
-    timings["crawl_live_60k"] = live_s
+    def run_live_crawl():
+        crawl_runs["lstate"] = CrawlEngine(
+            spark, None, lcfg,
+            fetch_fn_factory=live_fetch_factory(200_000)).run()
+        crawl_runs["n_live"] = crawl_runs["lstate"].crawl_order.count()
+
+    timed("crawl_live_60k", run_live_crawl)
+    n_live, live_s = crawl_runs["n_live"], timings["crawl_live_60k"]
     extras["crawl_live_urls_per_sec"] = round(n_live / live_s, 2)
     print(f"  live crawl: {n_live} urls in {live_s}s "
           f"({extras['crawl_live_urls_per_sec']}/s)", file=sys.stderr)
@@ -207,6 +231,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spread": spreads,
+        "bench_k": K,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
     }))

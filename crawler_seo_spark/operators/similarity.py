@@ -8,20 +8,32 @@ Two tiers, as a 100 TB pipeline needs:
   window rank. The baseline every ANN variant is validated against.
 * :func:`lsh_bucketed_topk` — random-hyperplane LSH: deterministic
   hyperplanes (seeded), per-row signature via dot-product signs, candidates
-  restricted to probe buckets (multi-probe on the query side), exact rerank
-  inside buckets. The scale path: the self-join touches only matching
-  buckets instead of the full corpus.
-* :func:`ivf_assign` / :func:`ivf_topk` — IVF-style variant with k-means-ish
-  seeded centroids (sampled rows as centroids — one pass, deterministic):
-  assign each vector to its nearest centroid (nprobe=1..c on the query
-  side), search only those lists.
+  restricted to probe buckets, exact rerank inside buckets. The scale
+  path: the self-join touches only matching buckets instead of the full
+  corpus.
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF: assign each vector to its
+  nearest centroid (:func:`ivf_kmeans` Lloyd-trains them), search only the
+  ``nprobe`` nearest lists per query.
+
+Model parameters (centroids, hyperplanes) are shipped as ONE broadcast
+numpy matrix consumed by Arrow-vectorized pandas UDFs — ``V @ C.T`` is a
+single BLAS call per Arrow batch, and the Catalyst plan carries a constant
+handful of nodes regardless of ``n_lists``/``n_planes``/``dim``. The
+round-3 encoding inlined every component as an expression literal
+(O(n_lists·dim) plan nodes): free at n_lists=16, a plan-size/codegen
+blow-up at the 10^3–10^4 lists × dim 768 real ANN needs
+(``tests/test_training_ops.py::test_ivf_plan_size_constant_in_n_lists``
+pins the fix). Pairwise rerank cosines stay JVM-side (``cosine_col``):
+they compare data rows, not model parameters, so literals never enter.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -37,6 +49,11 @@ def _norm(v: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def _stack(batch: pd.Series) -> np.ndarray:
+    """Arrow list column -> (n, dim) float64 matrix (one copy, no loops)."""
+    return np.array(batch.tolist(), dtype=np.float64)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -61,17 +78,38 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _bucket_udf(spark_context, planes: list[list[float]]):
+    """Hyperplane-signature bucket UDF over a broadcast plane matrix.
+
+    bit_i = sign(v · p_i); bucket = big-endian integer of the bits (plane 0
+    is the MSB — same encoding the literal round-3 version produced with
+    ``out*2 + bit``). One matmul per Arrow batch; the plan holds one UDF
+    node however many planes there are.
+    """
+    bc = spark_context.broadcast(np.asarray(planes, dtype=np.float64))
+    weights = 2 ** np.arange(len(planes) - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("long")
+    def bucket(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype="int64")
+        bits = (_stack(batch) @ bc.value.T) >= 0.0
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return bucket
+
+
 def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature as an int bucket id (JVM-side dot signs)."""
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1
-               ).otherwise(0)
-        for p in planes
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out * 2 + b
-    return out
+    """Random-hyperplane signature as an int bucket id.
+
+    Convenience wrapper creating a fresh broadcast per call — inside an
+    operator that signs several columns (e.g. :func:`lsh_bucketed_topk`),
+    build :func:`_bucket_udf` once and reuse it so the planes broadcast
+    ships once.
+    """
+    from pyspark.sql import SparkSession
+    sc = SparkSession.getActiveSession().sparkContext
+    return _bucket_udf(sc, planes)(vec)
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -87,10 +125,11 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
+    bucket = _bucket_udf(corpus.sparkSession.sparkContext, planes)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
-                      signature_col(F.col(vec_col), planes).alias("_bucket"))
+                      bucket(F.col(vec_col)).alias("_bucket"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
-                       signature_col(F.col(vec_col), planes).alias("_bucket"))
+                       bucket(F.col(vec_col)).alias("_bucket"))
     scored = (c.join(F.broadcast(q), "_bucket")
               .select(query_id_col, id_col,
                       cosine_col(F.col("_cv"), F.col("_qv")).alias("cosine")))
@@ -135,12 +174,12 @@ def kmeans_iterate(corpus: DataFrame, centroids: list[list[float]],
                    round_decimals: int = 6) -> list[list[float]]:
     """Lloyd iterations as DataFrame jobs over the GIVEN centroids.
 
-    Each iteration: assignment via :func:`ivf_assign_with` (per-row JVM
-    array math, no Python), then centroid update = ``groupBy(ivf_list)``
-    with one ``avg`` per dimension — map-side partial aggregation, one
-    shuffle of ≤ n_lists × dim partials; only the ≤ n_lists centroid rows
-    ever reach the driver (they must: they are broadcast back into the
-    next assignment as literals). Components are rounded to
+    Each iteration: assignment via :func:`ivf_assign_with` (one broadcast
+    matmul per Arrow batch, no shuffle), then centroid update =
+    ``groupBy(ivf_list)`` with one ``avg`` per dimension — map-side partial
+    aggregation, one shuffle of ≤ n_lists × dim partials; only the
+    ≤ n_lists centroid rows ever reach the driver (they must: they are the
+    next iteration's broadcast). Components are rounded to
     ``round_decimals`` so the result is reproducible across aggregation
     orders and engines (float summation order is not associative — the
     DuckDB oracle reproduces the same rounded update). Lists that receive
@@ -170,43 +209,69 @@ def ivf_kmeans(corpus: DataFrame, n_lists: int = 16, n_iters: int = 2,
     return ivf_assign_with(corpus, cents, vec_col), cents
 
 
+def _centroid_broadcast(df: DataFrame, centroids: list[list[float]]):
+    """Broadcast (C, ||C|| with zero-norm→1 guard) once per operator call."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm_safe = np.where(cnorm == 0.0, 1.0, cnorm)
+    return df.sparkSession.sparkContext.broadcast((C, cnorm, cnorm_safe))
+
+
 def ivf_assign_with(corpus: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest of the GIVEN centroids (cosine;
-    first index wins ties). Split out of :func:`ivf_assign` so callers with
-    externally chosen centroids (tests, the SQL-oracle query) share the
-    assignment plan."""
-    dists = F.array(*[
-        _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-        / (F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))  # zero-vector safe
-           * float(np.sqrt(sum(x * x for x in c)) or 1.0))
-        for c in centroids])
-    best = (F.array_position(F.col("_ivf_dists"),
-                             F.array_max(F.col("_ivf_dists"))) - 1)
-    return (corpus.withColumn("_ivf_dists", dists)
-            .withColumn("ivf_list", best.cast("int"))
-            .drop("_ivf_dists"))
+    first index wins ties, zero norms guarded — same semantics the DuckDB
+    oracle states with ``greatest(sqrt(·),1e-12)`` and ``ORDER BY sim
+    DESC, cid ASC``). Centroids travel as one broadcast matrix; the
+    per-batch kernel is a single ``V @ C.T`` matmul + row argmax
+    (``np.argmax`` returns the FIRST maximal index). Split out of
+    :func:`ivf_assign` so callers with externally chosen centroids (tests,
+    the SQL-oracle query, :func:`kmeans_iterate`) share the assignment
+    plan."""
+    bc = _centroid_broadcast(corpus, centroids)
+
+    @pandas_udf("int")
+    def assign(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype="int32")
+        C, _, cnorm_safe = bc.value
+        V = _stack(batch)
+        vnorm = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+        sims = (V @ C.T) / (vnorm[:, None] * cnorm_safe[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return corpus.withColumn("ivf_list", assign(F.col(vec_col)))
 
 
 def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
              queries: DataFrame, k: int = 5, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              query_id_col: str = "query_id") -> DataFrame:
-    """Search only the ``nprobe`` nearest inverted lists per query."""
-    cent_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    qv = F.col(vec_col)
-    sims = F.transform(cent_arr, lambda c: _dot(qv, c) / (_norm(qv) * _norm(c)))
+    """Search only the ``nprobe`` nearest inverted lists per query.
+
+    Probe routing is a broadcast-matrix matmul + stable argsort per Arrow
+    batch (ties → lower list index, matching the oracle's ``ORDER BY sim
+    DESC, cid ASC``; norms unguarded like the round-3 ``F.transform``
+    sims). The exact rerank inside probed lists stays JVM-side
+    (:func:`cosine_col`) — it compares data rows, no model literals."""
+    bc = _centroid_broadcast(queries, centroids)
+    nprobe = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def probe_lists(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype=object)
+        C, cnorm, _ = bc.value
+        Q = _stack(batch)
+        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        sims = (Q @ C.T) / (qnorm[:, None] * cnorm[None, :])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
     q = (queries
-         .withColumn("_sims", sims)
-         .withColumn(
-             "probe_lists",
-             F.slice(F.expr(
-                 "array_sort(transform(sequence(0, size(_sims)-1), "
-                 "i -> struct(-_sims[i] as neg, i as idx)))"),
-                 1, nprobe))
+         .withColumn("_probes", probe_lists(F.col(vec_col)))
          .select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
-                 F.explode("probe_lists.idx").alias("ivf_list")))
+                 F.explode("_probes").alias("ivf_list")))
     scored = (assigned.join(F.broadcast(q), "ivf_list")
               .select(query_id_col, id_col,
                       cosine_col(F.col(vec_col), F.col("_qv")).alias("cosine")))

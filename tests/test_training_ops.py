@@ -168,6 +168,59 @@ def test_ivf_topk_self_match(vectors):
         assert top[qid] == qid
 
 
+def test_ivf_plan_size_constant_in_n_lists(spark):
+    """Model parameters must ride a broadcast, not the plan (round-3
+    verdict: literal-encoded centroids/hyperplanes were O(n_lists·dim)
+    Catalyst expression nodes — a plan/codegen blow-up at the 10^3-lists ×
+    dim-768 scale real ANN needs). Pin: the analyzed-plan text for
+    assignment, probe routing, and LSH bucketing is the SAME SIZE at
+    n_lists=256/dim=64 as at n_lists=4 (small absolute bound, ratio ~1),
+    and the big-model assignment still matches a local numpy argmax."""
+    import pyspark.sql.functions as F
+
+    from crawler_seo_spark.operators.similarity import (
+        hyperplanes, ivf_assign_with, ivf_topk, signature_col)
+
+    dim, rng = 64, np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(dim).round(4).tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+
+    def plan_len(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    small = [rng.standard_normal(dim).round(4).tolist() for _ in range(4)]
+    big = small + [rng.standard_normal(dim).round(4).tolist()
+                   for _ in range(252)]
+    p_small, p_big = (plan_len(ivf_assign_with(corpus, c))
+                      for c in (small, big))
+    assert p_big < 4000, p_big
+    assert p_big <= p_small * 1.2, (p_small, p_big)
+
+    queries = corpus.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id")
+    t_small = plan_len(ivf_topk(ivf_assign_with(corpus, small), small,
+                                queries, k=3, nprobe=2))
+    t_big = plan_len(ivf_topk(ivf_assign_with(corpus, big), big,
+                              queries, k=3, nprobe=2))
+    assert t_big <= t_small * 1.2, (t_small, t_big)
+
+    l_small = plan_len(corpus.select(
+        signature_col(F.col("embedding"), hyperplanes(dim, 4, 7))))
+    l_big = plan_len(corpus.select(
+        signature_col(F.col("embedding"), hyperplanes(dim, 32, 7))))
+    assert l_big <= l_small * 1.2, (l_small, l_big)
+
+    # big-model assignment is still the first-index cosine argmax
+    C = np.array(big)
+    got = {r["vec_id"]: r["ivf_list"]
+           for r in ivf_assign_with(corpus, big).collect()}
+    for r in corpus.collect():
+        v = np.array(r["embedding"])
+        sims = (C @ v) / (np.linalg.norm(v) * np.linalg.norm(C, axis=1))
+        assert got[r["vec_id"]] == int(np.argmax(sims)), r["vec_id"]
+
+
 def test_ivf_kmeans_recall_at_least_sampled(spark):
     """Lloyd training must not lose recall vs the raw hash-sampled
     centroids on clustered data (round-2 verdict: 'trained >= sampled').
