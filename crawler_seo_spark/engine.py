@@ -24,6 +24,7 @@ link position on the page) within each round — never from
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
@@ -244,14 +245,23 @@ class CrawlEngine:
         robots endpoints yield allow-all (the common-crawler simplification
         of RFC 9309's 4xx rule; a strict 5xx=deny policy would plug in
         here)."""
+        from pyspark.sql import Observation
+
         from .functions.urlnorm import host_col
         cfg = self.config
         if self._robots_dynamic is None:
             self._robots_dynamic = self.spark.createDataFrame(
                 [], "host string, disallow_prefixes array<string>, "
-                    "fetched_round int")
-        hosts = candidates.select(
-            host_col(F.col("url")).alias("host")).distinct()
+                    "fetched_round int, fetch_ok boolean")
+        # carry the candidates' own scheme: an http-only origin serves its
+        # robots at http://, never https:// (max() prefers https when a
+        # host appears under both — robots are scheme-agnostic per host
+        # here, matching the per-host rules cache granularity)
+        hosts = (candidates.select(
+            host_col(F.col("url")).alias("host"),
+            F.when(F.col("url").startswith("http://"), "http")
+            .otherwise("https").alias("scheme"))
+            .groupBy("host").agg(F.max("scheme").alias("scheme")))
         fresh = self._robots_dynamic.filter(
             F.col("fetched_round") > round_id - cfg.robots_ttl_rounds)
         todo = hosts.join(fresh.select("host"), "host", "left_anti")
@@ -268,26 +278,40 @@ class CrawlEngine:
             fetch = factory()
             for pdf in batches:
                 rows = []
-                for host in pdf["host"]:
+                for host, scheme in zip(pdf["host"], pdf["scheme"]):
                     try:
-                        r = fetch(f"https://{host}/robots.txt")
-                        body = r["html"] if r["status_code"] == 200 else ""
+                        r = fetch(f"{scheme}://{host}/robots.txt")
+                        ok = r["status_code"] == 200
+                        body = r["html"] if ok else ""
                     except Exception:
-                        body = ""
-                    rows.append({"host": host,
+                        ok, body = False, ""
+                    rows.append({"host": host, "fetch_ok": ok,
                                  "disallow_prefixes":
                                      parse_robots_txt(body or "", ua)})
-                yield pd.DataFrame(rows,
-                                   columns=["host", "disallow_prefixes"])
+                yield pd.DataFrame(
+                    rows, columns=["host", "disallow_prefixes", "fetch_ok"])
 
+        obs = Observation()
         fetched = (todo.mapInPandas(
-            kernel, "host string, disallow_prefixes array<string>")
+            kernel, "host string, disallow_prefixes array<string>, "
+                    "fetch_ok boolean")
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1))
+                     .alias("failed"))
             .withColumn("fetched_round", F.lit(round_id)))
         self._robots_dynamic = (
             self._robots_dynamic
             .join(fetched.select("host"), "host", "left_anti")
             .unionByName(fetched)
             .localCheckpoint(eager=True))
+        # fail-open (non-200/error robots → allow-all) must be observable,
+        # not silent: the counters ride the checkpoint materialization
+        failed = obs.get["failed"] or 0
+        if failed:
+            logging.getLogger(__name__).warning(
+                "robots.txt fetch failed for %d/%d host(s) in round %d — "
+                "crawling those hosts allow-all", failed, obs.get["n"],
+                round_id)
 
     @staticmethod
     def _fill_missing(batch: DataFrame, result_found: DataFrame) -> DataFrame:
@@ -368,8 +392,11 @@ class CrawlEngine:
             # same checkpoint dir must not leak into this one — old commit
             # markers would refuse round 0, and a stale seen filter lacking
             # this run's urls would produce FALSE NEGATIVES (duplicates)
-            # through the skipped backfill.
-            if self.store is not None and self.store.manifest() is not None:
+            # through the skipped backfill. Reset UNCONDITIONALLY (not only
+            # when a manifest exists): a run that died in round 0 between
+            # the O_EXCL marker claim and the manifest publish leaves a
+            # marker with NO manifest, which would still refuse round 0.
+            if self.store is not None:
                 self.store.reset()
             if self.bloom.n_inserted:
                 self.bloom.reset()

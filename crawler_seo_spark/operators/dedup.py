@@ -439,8 +439,8 @@ def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
                     F.col(f"r.{id_col}").alias("id_b"),
                     F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h")))
                     .alias("hamming"))
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +510,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = edges0
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         obs = Observation()
         stepped = (_small_star(_large_star(edges))
@@ -528,9 +529,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             if stepped.join(edges, ["hi", "lo"], "left_anti").limit(1) \
                     .count() == 0:
                 edges = stepped
+                converged = True
                 break
         prev_sig = sig
         edges = stepped
+    if not converged:
+        # returning silently here would hand dedup labels that are NOT
+        # component minima — corrupt output with no signal. Log-round
+        # contraction makes the default budget ample (a path of 10^15
+        # nodes converges in < 50 star rounds), so exhaustion means a
+        # pathological input or a bug: fail loudly.
+        raise RuntimeError(
+            f"connected_components did not reach a verified fixed point "
+            f"in {max_iters} star rounds; raise max_iters")
     members = edges.select(F.col("hi").alias("member"),
                            F.col("lo").alias("label"))
     centers = edges.select(F.col("lo").alias("member")).distinct() \
@@ -573,6 +584,11 @@ def _label_components(edges0: DataFrame,
         labels = new_labels
         if not obs.get["changed"]:
             break
+    else:
+        raise RuntimeError(
+            f"label propagation still changing after {max_iters} rounds "
+            f"(graph diameter exceeds the budget); raise max_iters or use "
+            f"algorithm='star'")
     return labels.select(F.col("node").alias("member"),
                          F.col("label")), rounds
 

@@ -16,9 +16,11 @@ Operators:
   for lossy), caption equality, phash equality.
 * :func:`resize_images` — nearest-neighbor resize (numpy strided), batch in
   / batch out.
-* :func:`frame_sample` — video-style frame sampling STUB: raises
-  ``NotImplementedError`` in the kernel (no ffmpeg here) but the operator
-  plumbing (schema, batching) is importable and typed.
+* :func:`frame_sample` — video frame sampling, EXPERIMENTAL: a real
+  ffmpeg-CLI kernel gated behind a ``shutil.which("ffmpeg")`` probe —
+  raises only when no ffmpeg binary exists on the worker (this container
+  has none, so its test is skipif-gated); the operator plumbing (schema,
+  batching, per-row error isolation) runs either way.
 """
 
 from __future__ import annotations

@@ -82,7 +82,13 @@ def cached_load(state_dir: str, shard: int, version: int, parse_fn):
     """Worker-side cached load: parse_fn(bytes|None) -> payload object.
 
     The parsed payload for the CURRENT version of each shard is memoized
-    per process; older versions are evicted on sight.
+    per process; older versions are evicted on sight. Entries for
+    ABANDONED state dirs (deleted temp dirs from earlier filter instances
+    in the same long-lived worker process — bench suites, repeated engine
+    runs) are swept on insert: without the sweep every run strands
+    n_shards parsed payloads (~1 MiB each at bloom defaults) per worker,
+    growing without bound across runs. The sweep is O(cached dirs) stat
+    calls per NEW (dir, shard) key only — cache hits never pay it.
     """
     key = (state_dir, shard)
     with _CACHE_LOCK:
@@ -91,6 +97,12 @@ def cached_load(state_dir: str, shard: int, version: int, parse_fn):
             return hit[1]
     payload = parse_fn(read_shard(state_dir, shard, version))
     with _CACHE_LOCK:
+        if key not in _CACHE:
+            live = {d: os.path.isdir(d)
+                    for d in {d for d, _ in _CACHE} | {state_dir}}
+            if not all(live.values()):
+                for k in [k for k in _CACHE if not live[k[0]]]:
+                    del _CACHE[k]
         _CACHE[key] = (version, payload)
     return payload
 

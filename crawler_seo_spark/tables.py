@@ -103,7 +103,9 @@ class SnapshotStore:
         if os.path.isdir(hist_dir):
             for name in os.listdir(hist_dir):
                 if name.endswith(".commit"):
-                    r = int(name[1:6])
+                    # f'{round:05d}' widens past 99999 — parse the full
+                    # digit run, never a fixed 5-char slice
+                    r = int(name.removeprefix("r").split(".")[0])
                     if r > committed:
                         os.remove(os.path.join(hist_dir, name))
                         reclaimed.append(r)
@@ -130,7 +132,8 @@ class SnapshotStore:
         # later rounds' markers must be reclaimable by the resumed run
         hist_dir = os.path.join(self.root, "rounds")
         for name in os.listdir(hist_dir):
-            if name.endswith(".commit") and int(name[1:6]) > round_id:
+            if (name.endswith(".commit")
+                    and int(name.removeprefix("r").split(".")[0]) > round_id):
                 os.remove(os.path.join(hist_dir, name))
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:

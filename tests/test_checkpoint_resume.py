@@ -53,3 +53,21 @@ def test_resume_without_manifest_starts_fresh(spark, pages_df):
                       checkpoint_dir=ckpt)
     state = CrawlEngine(spark, pages_df, cfg).run(resume=True)  # no manifest
     assert state.crawl_order.count() == 10
+
+
+def test_fresh_run_reclaims_marker_orphaned_before_manifest(spark, pages_df):
+    """A run that died in round 0 BETWEEN the O_EXCL marker claim and the
+    manifest publish leaves a commit marker with no manifest. A fresh run
+    (resume=False) over that dir must reset unconditionally — gating the
+    reset on manifest() being non-None left the marker alive and the new
+    run's first commit_round(0) died with ConcurrentCommitError."""
+    import os
+
+    ckpt = tempfile.mkdtemp(prefix="orphan0_ckpt_")
+    os.makedirs(f"{ckpt}/rounds")
+    open(f"{ckpt}/rounds/r00000.commit", "w").close()  # marker, no manifest
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=10, batch_size=5,
+                      checkpoint_dir=ckpt)
+    state = CrawlEngine(spark, pages_df, cfg).run()
+    assert state.crawl_order.count() == 10
+    assert SnapshotStore(ckpt).manifest() is not None

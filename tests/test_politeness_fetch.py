@@ -233,3 +233,43 @@ def test_live_mode_matches_store_mode(spark):
     assert sa == sb
     assert (sorted(r["url"] for r in st_store.seen.collect())
             == sorted(r["url"] for r in st_live.seen.collect()))
+
+
+def test_robots_fetch_uses_candidate_scheme(spark):
+    """An http-only origin serves robots at http://host/robots.txt — the
+    round-3 code hard-coded https and silently failed open for http sites.
+    The fetch must carry the candidates' scheme (https preferred when a
+    host shows both)."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+
+    served = {
+        "http://plain.test/robots.txt": "User-agent: *\nDisallow: /priv/\n",
+        "https://dual.test/robots.txt": "User-agent: *\nDisallow: /tls/\n",
+        "http://dual.test/robots.txt": "User-agent: *\nDisallow: /nope/\n",
+    }
+
+    def factory():
+        def fetch(url: str) -> dict:
+            if url in served:
+                body = served[url]
+                return {"status_code": 200, "content_type": "text/plain",
+                        "final_url": url, "response_time_ms": 1.0,
+                        "content_length": len(body), "html": body,
+                        "headers": {}}
+            return {"status_code": 404, "content_type": "", "final_url": url,
+                    "response_time_ms": 1.0, "content_length": 0, "html": "",
+                    "headers": {}}
+        return fetch
+
+    cfg = CrawlConfig(seed_url="https://docs.example.test/",
+                      fetch_robots=True)
+    eng = CrawlEngine(spark, None, cfg, fetch_fn_factory=factory)
+    cand = spark.createDataFrame(
+        [("http://plain.test/a",), ("http://dual.test/b",),
+         ("https://dual.test/c",)], "url string")
+    eng._refresh_robots(cand, round_id=0)
+    rows = {r["host"]: r for r in eng._robots_dynamic.collect()}
+    assert rows["plain.test"]["disallow_prefixes"] == ["/priv/"]
+    assert rows["plain.test"]["fetch_ok"]
+    assert rows["dual.test"]["disallow_prefixes"] == ["/tls/"]  # https wins

@@ -130,3 +130,27 @@ def test_engine_checkpoint_carries_filter_state(spark, pages_df, tmp_path):
     # a fresh engine over the same checkpoint reloads the filter manifest
     eng2 = CrawlEngine(spark, pages, cfg)
     assert eng2.bloom.n_inserted == eng.bloom.n_inserted
+
+
+def test_worker_cache_evicts_abandoned_state_dirs(tmp_path):
+    """The per-process probe cache must not strand payloads for state dirs
+    that no longer exist: each bench/test run making a fresh temp dir would
+    otherwise leak ~n_shards parsed payloads per worker forever."""
+    import shutil
+
+    from crawler_seo_spark.operators import shardstate as ss
+
+    dirs = [str(tmp_path / f"st{i}") for i in range(3)]
+    for d in dirs:
+        os.makedirs(d)
+        ss.publish_shard(d, 0, 1, b"payload")
+        assert ss.cached_load(d, 0, 1, lambda b: b) == b"payload"
+    assert sum(1 for k in ss._CACHE if k[0] in dirs) == 3
+    shutil.rmtree(dirs[0])
+    shutil.rmtree(dirs[1])
+    # next insert (new key) sweeps entries whose dir is gone
+    ss.publish_shard(dirs[2], 1, 1, b"p2")
+    ss.cached_load(dirs[2], 1, 1, lambda b: b)
+    assert not any(k[0] in dirs[:2] for k in ss._CACHE)
+    # live dir's entries survive, hits still served
+    assert ss.cached_load(dirs[2], 0, 1, lambda b: b) == b"payload"

@@ -103,3 +103,17 @@ def test_fresh_run_over_stale_checkpoint(spark, pages_df, tmp_path):
     second = eng2.run()               # ...must be reset by the fresh run
     assert _order(second) == _order(first)
     assert SnapshotStore(ckpt).manifest()["round"] == second.rounds[-1]["round"]
+
+
+def test_round_id_parsing_past_5_digits(spark, tmp_path):
+    """f'{round:05d}' widens past 99999 — recover_incomplete and rollback
+    must parse the full digit run, not a fixed 5-char slice (a r100000
+    marker read as 10000 breaks the >committed comparison)."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    df = _frontier(spark, range(3))
+    store.write("frontier", df, 0)
+    store.commit_round(0, {"n": 3})
+    import os
+    open(os.path.join(store.root, "rounds", "r100000.commit"), "w").close()
+    assert store.recover_incomplete() == [100000]
+    assert store.manifest()["round"] == 0
