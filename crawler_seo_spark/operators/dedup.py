@@ -215,6 +215,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                      _minhash(hashes).alias("signature"))
 
 
+def banded_keys(signatures: DataFrame, bands: int = 8,
+                id_col: str = "doc_id", k: int | None = None) -> DataFrame:
+    """(id, band, band_key) rows: the signature split into ``bands``
+    contiguous slices, each hashed to one key — the LSH bucketing shared
+    by full-corpus (:func:`lsh_candidate_pairs`) and incremental
+    (:class:`~crawler_seo_spark.operators.incremental.SignatureIndex`)
+    candidate generation. Only (band, key, id) triples ever move — never
+    signatures or text."""
+    if k is None:
+        k = signatures.select(
+            F.size("signature").alias("n")).limit(1).collect()[0]["n"]
+    rows_per_band = k // bands
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.col("signature").getItem(b * rows_per_band + r)
+                for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "band_key"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                         id_col: str = "doc_id") -> DataFrame:
     """Band the signatures and self-join on (band, band-key).
@@ -223,18 +245,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     The join is an equi-join on the band hash — the only shuffle, and it
     moves (band, key, id) triples, never the signatures or the text.
     """
-    sig_len_expr = signatures.select(
-        F.size("signature").alias("n")).limit(1)
-    k = sig_len_expr.collect()[0]["n"]
-    rows_per_band = k // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[
-            F.md5(F.concat_ws(",", *[
-                F.col("signature").getItem(b * rows_per_band + r)
-                for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("band", "band_key"))
+    banded = banded_keys(signatures, bands, id_col)
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,

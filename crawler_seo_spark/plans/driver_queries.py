@@ -833,6 +833,76 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(base, threshold=0.6)
 
 
+def _incremental_lsh_sql(k: int, bands: int) -> str:
+    """Full-corpus banded-MinHash pair set in DuckDB — the oracle for the
+    incremental two-batch ingest, whose pair union must equal it. Band keys
+    join on the raw slice string (md5 equality ⟺ string equality)."""
+    from ..operators.dedup import MERSENNE31, minhash_params
+    params = minhash_params(k)
+    norm = (r"trim(regexp_replace(regexp_replace(lower(text), "
+            r"'[^\p{L}\p{N}]+', ' ', 'g'), '\s+', ' ', 'g'))")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hh, h -> ({a} * h + {b}) % "
+        f"{MERSENNE31}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    rpb = k // bands
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS key FROM sig"
+        for b in range(bands))
+    return f"""
+WITH base AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id - (a.doc_id % 2)
+  WHERE a.doc_id < 100),
+norm AS (SELECT doc_id, {norm} AS t FROM base),
+sh AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                       i -> substr(t, i::INT, 5)) AS shingles
+       FROM norm),
+hs AS (SELECT doc_id,
+        list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                            % {MERSENNE31}) AS hh
+       FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM hs),
+banded AS ({band_rows})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+@q("d_incremental_lsh_pairs", _incremental_lsh_sql(8, 4))
+def d_incremental_lsh_pairs(spark, sf_dir):
+    """INCREMENTAL LSH dedup: two batches ingested against the persisted
+    signature index (operators/incremental.py). Round 0 ingests docs
+    0-49, round 1 ingests 50-99 computing ONLY their signatures and
+    joining against the round-0 snapshot (Iceberg fast-append: round 1
+    writes O(batch) files). The union of per-round pairs must equal the
+    full-corpus recompute — exactly what the oracle states. Odd docs take
+    their even neighbor's text, planting (2i, 2i+1) exact-dup pairs in
+    both halves."""
+    import tempfile
+
+    from ..operators.incremental import SignatureIndex
+    from ..tables import SnapshotStore
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 100")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    base = (a.join(b, F.col("b.doc_id")
+                   == F.col("a.doc_id") - (F.col("a.doc_id") % 2))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.when(F.col("a.doc_id") % 2 == 1, F.col("b.text"))
+                    .otherwise(F.col("a.text")).alias("text")))
+    idx = SignatureIndex(
+        SnapshotStore(tempfile.mkdtemp(prefix="sigidx_dq_")), k=8, bands=4)
+    p1 = idx.ingest(spark, base.filter("doc_id < 50"))
+    p2 = idx.ingest(spark, base.filter("doc_id >= 50"))
+    return p1.unionByName(p2)
+
+
 # ===========================================================================
 # Similarity search (operators/similarity.py)
 # ===========================================================================

@@ -144,16 +144,57 @@ class SnapshotStore:
     def _table_dir(self, table: str, round_id: int) -> str:
         return os.path.join(self.root, table, f"r{round_id:05d}")
 
-    def write(self, table: str, df: DataFrame, round_id: int) -> None:
+    def _snap_path(self, table: str, round_id: int) -> str:
+        return self._table_dir(table, round_id) + ".files.json"
+
+    def _snapshot_dirs(self, table: str, round_id: int) -> list[str]:
+        """Data dirs composing a snapshot. Full-rewrite snapshots (and
+        stores from before append support) are the single round dir;
+        append snapshots list parent dirs + the round's delta dir."""
+        try:
+            with open(self._snap_path(table, round_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return [self._table_dir(table, round_id)]
+
+    def _publish_snapshot(self, table: str, round_id: int,
+                          dirs: list[str]) -> None:
+        tmp = self._snap_path(table, round_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dirs, f)
+        os.replace(tmp, self._snap_path(table, round_id))
+
+    def _write_delta(self, table: str, df: DataFrame, round_id: int) -> str:
         final = self._table_dir(table, round_id)
         tmp = final + "_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
+        return final
+
+    def write(self, table: str, df: DataFrame, round_id: int) -> None:
+        final = self._write_delta(table, df, round_id)
+        self._publish_snapshot(table, round_id, [final])
+
+    def append(self, table: str, df: DataFrame, round_id: int,
+               parent_round: int | None = None) -> None:
+        """Iceberg FAST-APPEND: write ONLY ``df`` as this round's data dir
+        and publish a snapshot referencing the parent snapshot's dirs plus
+        the new one — O(batch) IO per append, never O(table). The shape a
+        monotonically growing table (a persisted dedup signature index at
+        100 TB) requires: :meth:`write`/:meth:`merge_into` rewrite the
+        whole table per round, which is correct for working-set-sized
+        state (the frontier) and a scale-killer for an index."""
+        parent_dirs: list[str] = []
+        if parent_round is not None:
+            parent_dirs = [d for d in self._snapshot_dirs(table, parent_round)
+                           if os.path.isdir(d)]
+        delta = self._write_delta(table, df, round_id)
+        self._publish_snapshot(table, round_id, parent_dirs + [delta])
 
     def read(self, spark: SparkSession, table: str, round_id: int) -> DataFrame:
-        return spark.read.parquet(self._table_dir(table, round_id))
+        return spark.read.parquet(*self._snapshot_dirs(table, round_id))
 
     def read_latest(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self.manifest()

@@ -1,0 +1,84 @@
+"""Incremental dedup vs a persisted signature index: per-batch ingest must
+(1) equal the full-corpus recompute pair-for-pair across rounds,
+(2) compute and write ONLY the new batch's signatures per round, and
+(3) resume from the committed store across index instances.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_seo_spark.operators.dedup import lsh_candidate_pairs
+from crawler_seo_spark.operators.incremental import SignatureIndex
+from crawler_seo_spark.tables import SnapshotStore
+
+
+def _docs(spark, ids):
+    # planted near-dups: docs 2i and 2i+1 share text, so every (2i, 2i+1)
+    # pair collides in all bands; unrelated docs share nothing
+    rows = [(i, f"the quick brown fox {i // 2} jumps over the lazy dog "
+                f"number {i // 2} in the corpus of documents") for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+KW = dict(k=8, bands=4, hash_mode="xxhash64")
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path, monkeypatch):
+    full_docs = _docs(spark, range(40))
+    b1, b2 = _docs(spark, range(20)), _docs(spark, range(20, 40))
+
+    sig_inputs = []
+    orig = SignatureIndex._signatures
+
+    def spy(self, docs):
+        sig_inputs.append(docs.count())
+        return orig(self, docs)
+
+    monkeypatch.setattr(SignatureIndex, "_signatures", spy)
+
+    idx = SignatureIndex(SnapshotStore(str(tmp_path / "sigidx")), **KW)
+    p1 = {(r["id_a"], r["id_b"]) for r in idx.ingest(spark, b1).collect()}
+    p2 = {(r["id_a"], r["id_b"]) for r in idx.ingest(spark, b2).collect()}
+
+    full_sigs = idx._signatures(full_docs)
+    full = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(full_sigs, bands=4).collect()}
+    assert p1 | p2 == full
+    assert p1 and p2  # both rounds found their planted pairs
+    assert p1.isdisjoint(p2)  # old×old pairs never re-emitted
+    # each round computed signatures ONLY for its batch (20 docs), plus the
+    # one full-corpus reference call above
+    assert sig_inputs == [20, 20, 40]
+
+
+def test_append_writes_only_the_delta(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "sigidx"))
+    idx = SignatureIndex(store, **KW)
+    idx.ingest(spark, _docs(spark, range(20)))
+    idx.ingest(spark, _docs(spark, range(20, 40)))
+    # round-1 data dir holds ONLY batch 2 (O(batch) IO per append) …
+    delta = spark.read.parquet(store._table_dir("signatures", 1))
+    assert delta.count() == 20
+    assert delta.agg(F.min("doc_id")).collect()[0][0] == 20
+    # … while the committed snapshot unions both rounds' files
+    snap = idx.signatures(spark)
+    assert snap.count() == 40
+    assert store.manifest()["counters"]["n_total"] == 40
+
+
+def test_index_resumes_across_instances(spark, tmp_path):
+    root = str(tmp_path / "sigidx")
+    SignatureIndex(SnapshotStore(root), **KW).ingest(
+        spark, _docs(spark, range(20)))
+    # a NEW instance over the same store continues from the commit
+    idx2 = SignatureIndex(SnapshotStore(root), **KW)
+    assert idx2.committed_round() == 0
+    pairs = {(r["id_a"], r["id_b"])
+             for r in idx2.ingest(spark, _docs(spark, [100, 101])).collect()}
+    assert (100, 101) in pairs
+    assert idx2.signatures(spark).count() == 22
+
+
+def test_ingest_rejects_uneven_bands(tmp_path):
+    with pytest.raises(AssertionError):
+        SignatureIndex(SnapshotStore(str(tmp_path / "s")), k=10, bands=4)
