@@ -40,7 +40,7 @@ from .functions.urlnorm import base_domain_of, is_priority_col
 from .operators.bloom import ShardedBloom
 from .operators.politeness import schedule_fetches
 from .operators.robots import filter_allowed, robots_table
-from .tables import SnapshotStore
+from .tables import ConcurrentCommitError, SnapshotStore
 
 FRONTIER_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
@@ -93,7 +93,11 @@ class CrawlEngine:
         # Seen-filter shard state rides the checkpoint dir: resume reopens
         # the same file-backed shards (and skips the seen backfill); without
         # checkpointing the filters use a private temp dir.
-        filter_dir = (os.path.join(config.checkpoint_dir, "seen_filter")
+        # cooperative writers keep writer-local filter state (it is derived
+        # from the committed seen set; a rebase resets + re-backfills it)
+        filter_name = ("seen_filter" if config.writer_id is None
+                       else f"seen_filter.{config.writer_id}")
+        filter_dir = (os.path.join(config.checkpoint_dir, filter_name)
                       if config.checkpoint_dir else None)
         if config.seen_filter == "cuckoo":
             # deletable variant (recrawl invalidation); same prune contract
@@ -109,8 +113,10 @@ class CrawlEngine:
         self.robots = (robots_table(spark, robots_rules)
                        if robots_rules else None)
         self._robots_dynamic: DataFrame | None = None  # LIVE robots cache
-        self.store = (SnapshotStore(config.checkpoint_dir)
+        self.store = (SnapshotStore(config.checkpoint_dir,
+                                    writer_id=config.writer_id)
                       if config.checkpoint_dir else None)
+        self.rebase_count = 0  # cooperative commit races lost (telemetry)
 
     # ------------------------------------------------------------------
     def _seed_frontier(self) -> tuple[DataFrame, DataFrame, int]:
@@ -345,11 +351,41 @@ class CrawlEngine:
                         F.col("f.reason").alias("reason"), "round"))
 
     # ------------------------------------------------------------------
+    def _load_committed_state(self) -> dict:
+        """Reconstruct the full per-round loop state from the manifest's
+        committed round — the resume path, and the rebase target for a
+        cooperative writer that lost a commit race."""
+        manifest = self.store.manifest()
+        last, c = manifest["round"], manifest["counters"]
+        frontier = self.store.read(self.spark, "frontier", last) \
+            .localCheckpoint(eager=True)
+        seen = self.store.read(self.spark, "seen", last) \
+            .localCheckpoint(eager=True)
+        results_parts, filtered_parts = [], []
+        for r in range(last + 1):
+            part = self.store.read(self.spark, "results", r)
+            results_parts.append(part)
+            filtered_parts.append(self._filtered_from(part))
+        return dict(frontier=frontier, seen=seen,
+                    results_parts=results_parts,
+                    filtered_parts=filtered_parts,
+                    results_count=c["results_total"],
+                    next_discovery_seq=c["next_discovery_seq"],
+                    frontier_count=c["frontier_after"],
+                    seen_count=c["seen_total"],
+                    round_id=last + 1)
+
     def run(self, resume: bool = False) -> CrawlState:
         """Run the crawl; with ``resume=True`` continue from the last
         committed snapshot round (bit-identical to an uninterrupted run —
-        every per-round input is reconstructed from the snapshot store)."""
+        every per-round input is reconstructed from the snapshot store).
+
+        With ``config.writer_id`` set (cooperative mode) the engine JOINS
+        the shared crawl: it resumes from the committed round if one
+        exists, commits rounds synchronously, and on losing a commit race
+        aborts its staged round and rebases onto the winner's state."""
         cfg = self.config
+        cooperative = self.store is not None and cfg.writer_id is not None
         results_parts: list[DataFrame] = []
         filtered_parts: list[DataFrame] = []
         rounds: list[dict] = []
@@ -367,26 +403,24 @@ class CrawlEngine:
                     raise errs[0]
 
         manifest = None
-        if resume and self.store is not None:
-            # reclaim markers orphaned by a crash between marker claim and
-            # manifest publish (we are the single resuming writer)
-            self.store.recover_incomplete()
+        if self.store is not None and (resume or cooperative):
+            if not cooperative:
+                # reclaim markers orphaned by a crash between marker claim
+                # and manifest publish (we are the single resuming writer —
+                # cooperative writers must NOT do this: a peer may be
+                # mid-commit, its claimed marker is not an orphan)
+                self.store.recover_incomplete()
             manifest = self.store.manifest()
         if manifest is not None:
-            last, c = manifest["round"], manifest["counters"]
-            frontier = self.store.read(self.spark, "frontier", last) \
-                .localCheckpoint(eager=True)
-            seen = self.store.read(self.spark, "seen", last) \
-                .localCheckpoint(eager=True)
-            for r in range(last + 1):
-                part = self.store.read(self.spark, "results", r)
-                results_parts.append(part)
-                filtered_parts.append(self._filtered_from(part))
-            results_count = c["results_total"]
-            next_discovery_seq = c["next_discovery_seq"]
-            frontier_count = c["frontier_after"]
-            seen_count = c["seen_total"]
-            round_id = last + 1
+            st = self._load_committed_state()
+            frontier, seen = st["frontier"], st["seen"]
+            results_parts, filtered_parts = (st["results_parts"],
+                                             st["filtered_parts"])
+            results_count = st["results_count"]
+            next_discovery_seq = st["next_discovery_seq"]
+            frontier_count = st["frontier_count"]
+            seen_count = st["seen_count"]
+            round_id = st["round_id"]
         else:
             # fresh run: a stale store/filter from a previous run over the
             # same checkpoint dir must not leak into this one — old commit
@@ -396,7 +430,10 @@ class CrawlEngine:
             # when a manifest exists): a run that died in round 0 between
             # the O_EXCL marker claim and the manifest publish leaves a
             # marker with NO manifest, which would still refuse round 0.
-            if self.store is not None:
+            # Cooperative writers never reset: a peer may already be
+            # mid-commit of round 0 — they seed identically (deterministic)
+            # and let the commit race pick the winner.
+            if self.store is not None and not cooperative:
                 self.store.reset()
             if self.bloom.n_inserted:
                 self.bloom.reset()
@@ -409,6 +446,7 @@ class CrawlEngine:
             seen_count = n_seeds
             round_id = 0
         bloom_active = False
+        last_conflict: tuple | None = None  # cooperative rebase spin guard
 
         while frontier_count > 0 and results_count < cfg.max_urls:
             t0 = time.monotonic()
@@ -729,7 +767,46 @@ class CrawlEngine:
                 "wall_ms": round((time.monotonic() - t0) * 1000, 1),
             })
 
-            if self.store is not None:
+            if cooperative:
+                # synchronous commit: the conflict must surface BEFORE the
+                # next round builds on uncommitted state (the single-writer
+                # overlap below would detect it one round late, wasting a
+                # second round of work per race lost)
+                try:
+                    self.store.write("results", result, round_id)
+                    self.store.commit_round(round_id, rounds[-1])
+                except ConcurrentCommitError:
+                    committed = (self.store.manifest() or {}).get("round")
+                    if (round_id, committed) == last_conflict:
+                        # the marker holder made no progress since our last
+                        # rebase — an orphaned marker from a crashed run,
+                        # not a live peer; rebasing again would spin
+                        raise
+                    last_conflict = (round_id, committed)
+                    self.rebase_count += 1
+                    # rebase: drop this round's staged artifacts and every
+                    # in-memory derivation of it, reload the winner's
+                    # committed state, and continue from there
+                    self.store.abort_round(round_id)
+                    rounds.pop()
+                    st = self._load_committed_state()
+                    frontier, seen = st["frontier"], st["seen"]
+                    results_parts = st["results_parts"]
+                    filtered_parts = st["filtered_parts"]
+                    results_count = st["results_count"]
+                    next_discovery_seq = st["next_discovery_seq"]
+                    frontier_count = st["frontier_count"]
+                    seen_count = st["seen_count"]
+                    round_id = st["round_id"]
+                    if bloom_active or self.bloom.n_inserted:
+                        # the filter carries our aborted rounds' urls but
+                        # may MISS urls the winner committed — a missing
+                        # url is a definite-negative (duplicate crawl), so
+                        # rebuild from the committed seen at reactivation
+                        self.bloom.reset()
+                    bloom_active = False
+                    continue
+            elif self.store is not None:
                 # frontier/seen snapshots were already published by the
                 # MERGE INTO above; the results write + commit marker run
                 # in a BACKGROUND thread overlapping the next round's

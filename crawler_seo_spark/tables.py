@@ -47,10 +47,23 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class SnapshotStore:
-    """The parquet implementation of the table-provider contract."""
+    """The parquet implementation of the table-provider contract.
 
-    def __init__(self, root: str) -> None:
+    With ``writer_id`` set, the store supports COOPERATIVE MULTI-WRITER
+    rounds: every data dir and snapshot file-list this writer produces is
+    staged under a writer-scoped name, invisible to other readers, until
+    :meth:`commit_round` wins the marker claim and atomically promotes the
+    staged file-lists to the shared names (the data dirs stay where they
+    are — the file-list indirection makes promotion a metadata-only
+    ``os.replace`` per table, the Iceberg manifest-swap shape). A loser
+    calls :meth:`abort_round` to delete its staged artifacts (no orphaned
+    snapshot dirs), re-reads the manifest, and rebases.
+    """
+
+    def __init__(self, root: str, writer_id: str | None = None) -> None:
         self.root = root
+        self.writer_id = writer_id
+        self._staged: dict[int, set[str]] = {}  # round -> staged tables
         os.makedirs(root, exist_ok=True)
 
     # -- manifest -------------------------------------------------------------
@@ -84,6 +97,12 @@ class SnapshotStore:
             raise ConcurrentCommitError(
                 f"round {round_id} already committed (or mid-commit) by "
                 f"another writer; re-read the manifest and rebase") from None
+        # marker won: promote this writer's staged snapshot file-lists to
+        # the shared names (metadata-only os.replace per table — the data
+        # dirs stay put, the file-list indirection points readers at them)
+        for table in sorted(self._staged.pop(round_id, set())):
+            os.replace(self._staged_snap_path(table, round_id),
+                       self._snap_path(table, round_id))
         with open(os.path.join(hist_dir, f"r{round_id:05d}.json"), "w") as f:
             json.dump(payload, f, indent=1)
         tmp = self._manifest_path + ".tmp"
@@ -142,27 +161,49 @@ class SnapshotStore:
 
     # -- table snapshots ---------------------------------------------------
     def _table_dir(self, table: str, round_id: int) -> str:
-        return os.path.join(self.root, table, f"r{round_id:05d}")
+        suffix = f".{self.writer_id}" if self.writer_id else ""
+        return os.path.join(self.root, table, f"r{round_id:05d}{suffix}")
 
     def _snap_path(self, table: str, round_id: int) -> str:
-        return self._table_dir(table, round_id) + ".files.json"
+        """SHARED (committed-visible) snapshot file-list path."""
+        return os.path.join(self.root, table,
+                            f"r{round_id:05d}.files.json")
+
+    def _staged_snap_path(self, table: str, round_id: int) -> str:
+        return os.path.join(
+            self.root, table,
+            f"r{round_id:05d}.{self.writer_id}.files.json")
 
     def _snapshot_dirs(self, table: str, round_id: int) -> list[str]:
-        """Data dirs composing a snapshot. Full-rewrite snapshots (and
-        stores from before append support) are the single round dir;
-        append snapshots list parent dirs + the round's delta dir."""
+        """Data dirs composing a snapshot: this writer's staged file-list
+        if one exists (uncommitted reads-own-writes), else the shared
+        (committed) file-list, else the legacy unscoped round dir
+        (full-rewrite snapshots from before append/staging support)."""
+        if self.writer_id is not None:
+            try:
+                with open(self._staged_snap_path(table, round_id)) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                pass
         try:
             with open(self._snap_path(table, round_id)) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return [self._table_dir(table, round_id)]
+            return [os.path.join(self.root, table, f"r{round_id:05d}")]
 
     def _publish_snapshot(self, table: str, round_id: int,
                           dirs: list[str]) -> None:
-        tmp = self._snap_path(table, round_id) + ".tmp"
+        """Writer-scoped stores stage the file-list; anonymous stores
+        publish it shared immediately (single-writer fast path)."""
+        if self.writer_id is not None:
+            path = self._staged_snap_path(table, round_id)
+            self._staged.setdefault(round_id, set()).add(table)
+        else:
+            path = self._snap_path(table, round_id)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(dirs, f)
-        os.replace(tmp, self._snap_path(table, round_id))
+        os.replace(tmp, path)
 
     def _write_delta(self, table: str, df: DataFrame, round_id: int) -> str:
         final = self._table_dir(table, round_id)
@@ -176,6 +217,18 @@ class SnapshotStore:
     def write(self, table: str, df: DataFrame, round_id: int) -> None:
         final = self._write_delta(table, df, round_id)
         self._publish_snapshot(table, round_id, [final])
+
+    def abort_round(self, round_id: int) -> None:
+        """Drop this writer's staged artifacts for a lost round: staged
+        file-lists and writer-scoped data dirs. Leaves committed (shared)
+        state untouched; no orphaned snapshot dirs remain."""
+        for table in self._staged.pop(round_id, set()):
+            try:
+                os.remove(self._staged_snap_path(table, round_id))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(self._table_dir(table, round_id),
+                          ignore_errors=True)
 
     def append(self, table: str, df: DataFrame, round_id: int,
                parent_round: int | None = None) -> None:

@@ -71,3 +71,63 @@ def test_fresh_run_reclaims_marker_orphaned_before_manifest(spark, pages_df):
     state = CrawlEngine(spark, pages_df, cfg).run()
     assert state.crawl_order.count() == 10
     assert SnapshotStore(ckpt).manifest() is not None
+
+
+def test_cooperative_two_writers_match_serial(spark, pages_df):
+    """Two engines with distinct writer_ids share one store: each stages
+    its round under writer-scoped names, races on the commit marker, and
+    the loser aborts + rebases onto the winner's committed round. BOTH
+    must finish with the serial run's exact crawl, and no staged snapshot
+    artifacts may survive (every remaining data dir is referenced by a
+    committed file-list)."""
+    import json
+    import os
+    import threading
+
+    base = dict(seed_url=SEED_URL, max_urls=60, batch_size=15)
+    serial = CrawlEngine(spark, pages_df, CrawlConfig(
+        **base, checkpoint_dir=tempfile.mkdtemp(prefix="coop_serial_"))).run()
+    want = _order(serial)
+
+    ckpt = tempfile.mkdtemp(prefix="coop_ckpt_")
+    engines = [CrawlEngine(spark, pages_df, CrawlConfig(
+        **base, checkpoint_dir=ckpt, writer_id=w)) for w in ("wa", "wb")]
+    states, errors = {}, []
+
+    def runner(name, eng):
+        try:
+            states[name] = eng.run()
+        except BaseException as e:  # surfaced below
+            errors.append((name, e))
+
+    threads = [threading.Thread(target=runner, args=(f"w{i}", e))
+               for i, e in enumerate(engines)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert len(states) == 2
+
+    for name, st in states.items():
+        assert _order(st) == want, name
+        assert ({r["url"] for r in st.seen.collect()}
+                == {r["url"] for r in serial.seen.collect()}), name
+    # the race was actually exercised (both started together, rounds are
+    # ~seconds: at least one commit must have been lost and rebased)
+    assert sum(e.rebase_count for e in engines) >= 1
+
+    # no orphaned snapshot state: every surviving data dir is referenced
+    # by a committed (shared) file-list, and no staged file-lists remain
+    for table in ("frontier", "seen", "results"):
+        tdir = os.path.join(ckpt, table)
+        names = os.listdir(tdir)
+        assert not [n for n in names if n.count(".files.json") and
+                    n.count(".") > 2], names  # staged jsons all gone
+        referenced = set()
+        for n in names:
+            if n.endswith(".files.json"):
+                with open(os.path.join(tdir, n)) as f:
+                    referenced |= {os.path.basename(d) for d in json.load(f)}
+        dirs = {n for n in names if os.path.isdir(os.path.join(tdir, n))}
+        assert dirs <= referenced, (table, dirs - referenced)
