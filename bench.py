@@ -103,6 +103,20 @@ def main() -> None:
     timed("m_phash_near_dup",
           lambda: force(dq.m_phash_near_dup(spark, SF_DIR)))
 
+    # paragraph-level dedup over the full documents table (3 paragraphs
+    # per doc planted via the 4-doc-group construction)
+    from crawler_seo_spark.operators.paragraph import paragraph_stats
+    para_docs = (docs.alias("a")
+                 .join(docs.alias("b"),
+                       F.col("b.doc_id")
+                       == F.col("a.doc_id") - (F.col("a.doc_id") % 4))
+                 .select(F.col("a.doc_id").alias("doc_id"),
+                         F.concat_ws("\n\n",
+                                     F.substring(F.col("a.text"), 1, 80),
+                                     F.col("b.text"),
+                                     F.col("a.text")).alias("text")))
+    timed("d_paragraph_stats_full", lambda: force(paragraph_stats(para_docs)))
+
     # --- similarity search ----------------------------------------------------
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     from crawler_seo_spark.operators.similarity import (

@@ -257,7 +257,8 @@ class CrawlEngine:
         cfg = self.config
         if self._robots_dynamic is None:
             self._robots_dynamic = self.spark.createDataFrame(
-                [], "host string, disallow_prefixes array<string>, "
+                [], "host string, "
+                    "rules array<struct<allow:boolean,prefix:string>>, "
                     "fetched_round int, fetch_ok boolean")
         # carry the candidates' own scheme: an http-only origin serves its
         # robots at http://, never https:// (max() prefers https when a
@@ -280,7 +281,9 @@ class CrawlEngine:
         def kernel(batches):
             import pandas as pd
 
-            from crawler_seo_spark.operators.robots import parse_robots_txt
+            from crawler_seo_spark.operators.robots import (
+                parse_robots_rules,
+            )
             fetch = factory()
             for pdf in batches:
                 rows = []
@@ -292,14 +295,17 @@ class CrawlEngine:
                     except Exception:
                         ok, body = False, ""
                     rows.append({"host": host, "fetch_ok": ok,
-                                 "disallow_prefixes":
-                                     parse_robots_txt(body or "", ua)})
-                yield pd.DataFrame(
-                    rows, columns=["host", "disallow_prefixes", "fetch_ok"])
+                                 "rules": [
+                                     {"allow": a, "prefix": p}
+                                     for a, p in parse_robots_rules(
+                                         body or "", ua)]})
+                yield pd.DataFrame(rows,
+                                   columns=["host", "rules", "fetch_ok"])
 
         obs = Observation()
         fetched = (todo.mapInPandas(
-            kernel, "host string, disallow_prefixes array<string>, "
+            kernel, "host string, "
+                    "rules array<struct<allow:boolean,prefix:string>>, "
                     "fetch_ok boolean")
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1))
@@ -632,7 +638,7 @@ class CrawlEngine:
                 self._refresh_robots(new_links, round_id)
                 new_links = filter_allowed(
                     new_links,
-                    self._robots_dynamic.select("host", "disallow_prefixes"))
+                    self._robots_dynamic.select("host", "rules"))
             new_links = filter_allowed(new_links, self.robots)
             t_prune = time.monotonic()
 

@@ -1,0 +1,106 @@
+"""Paragraph-level exact dedup — the sub-document operator family a
+training-data pipeline runs after doc-level dedup: boilerplate headers,
+license blocks, and templated sections repeat across documents that are
+not near-duplicates as wholes.
+
+Shape (all bucketed, never all-pairs):
+
+* :func:`paragraph_occurrences` — explode each document into trimmed,
+  non-empty paragraphs with a stable ``(doc, para_idx)`` position and an
+  md5 content hash (md5 for cross-engine oracle parity; swap
+  ``xxhash64`` in production for speed — same plan).
+* :func:`mark_duplicate_paragraphs` — the FIRST global occurrence of each
+  hash (ordered by ``(doc_id, para_idx)``) is the keeper; every later
+  occurrence is a duplicate. First-occurrence selection is
+  ``groupBy(hash).agg(min(struct(doc, idx)))`` — map-side partial combine
+  collapses within-partition repeats before the shuffle (same discipline
+  as the engine's candidate dedup; a window over the hash partition could
+  never combine map-side). The stats path shuffles only
+  ``(hash, doc, idx)`` tuples — paragraph text stays columnar at the
+  scan.
+* :func:`paragraph_stats` — per-document containment: paragraph count,
+  duplicated-paragraph count, duplicate ratio.
+* :func:`drop_duplicate_paragraphs` — the paragraph-dedup'd corpus: keep
+  only first occurrences, reassemble per document in paragraph order
+  (paragraphs come back trimmed, joined by the delimiter; documents whose
+  every paragraph was a duplicate keep an empty text). Reassembly is the
+  one stage that shuffles text — unavoidable for output, single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARA_DELIM = "\n\n"
+
+
+def paragraph_occurrences(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          delimiter: str = PARA_DELIM) -> DataFrame:
+    """(id, para_idx, para, para_hash) — trimmed non-empty paragraphs.
+
+    ``para_idx`` is the paragraph's position in the ORIGINAL split (before
+    empty-paragraph removal), so reassembly order and the DuckDB oracle's
+    ordinality agree."""
+    return (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("para_idx", "_raw"))
+        .withColumn("para", F.trim(F.col("_raw")))
+        .filter(F.length("para") > 0)
+        .select(id_col, "para_idx", "para",
+                F.md5(F.col("para")).alias("para_hash")))
+
+
+def mark_duplicate_paragraphs(occ: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Add ``is_dup``: true for every occurrence after the global first
+    (ordered by ``(id, para_idx)``) of the same paragraph hash."""
+    firsts = (occ.groupBy("para_hash")
+              .agg(F.min(F.struct(F.col(id_col), F.col("para_idx")))
+                   .alias("_first")))
+    return (occ.join(firsts, "para_hash")
+            .withColumn(
+                "is_dup",
+                ~((F.col(id_col) == F.col(f"_first.{id_col}"))
+                  & (F.col("para_idx") == F.col("_first.para_idx"))))
+            .drop("_first"))
+
+
+def paragraph_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    delimiter: str = PARA_DELIM) -> DataFrame:
+    """(id, n_paras, n_dup_paras, dup_ratio) per document. Documents with
+    no non-empty paragraphs produce no row (nothing to measure)."""
+    marked = mark_duplicate_paragraphs(
+        paragraph_occurrences(df, id_col, text_col, delimiter), id_col)
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_paras"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dup_paras"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup_paras")
+                                / F.col("n_paras"), 6)))
+
+
+def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              delimiter: str = PARA_DELIM) -> DataFrame:
+    """(id, text) with every non-first paragraph occurrence removed and
+    the survivors rejoined by ``delimiter`` in original order. Every input
+    document appears (empty text when nothing survives)."""
+    marked = mark_duplicate_paragraphs(
+        paragraph_occurrences(df, id_col, text_col, delimiter), id_col)
+    kept = (marked.filter(~F.col("is_dup"))
+            .groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("para_idx", "para"))),
+                    lambda s: s["para"]),
+                delimiter).alias("_text")))
+    return (df.select(id_col)
+            .join(kept, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("_text"), F.lit(""))
+                    .alias(text_col)))

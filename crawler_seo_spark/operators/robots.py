@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 from ..functions.urlnorm import host_col
 
 
+RULES_TYPE = "array<struct<allow:boolean,prefix:string>>"
+
+
 def robots_table(spark: SparkSession,
                  rules: dict[str, list[str]] | None) -> DataFrame:
     """Build the rules table. ``rules`` maps host → disallow path-prefixes."""
@@ -28,12 +31,29 @@ def robots_table(spark: SparkSession,
         rows, "host string, disallow_prefixes array<string>")
 
 
+def robots_rules_table(spark: SparkSession,
+                       rules: dict[str, list[tuple[bool, str]]] | None
+                       ) -> DataFrame:
+    """RFC 9309 rules table: host → ordered ``(allow, prefix)`` rules."""
+    rows = [(h, [{"allow": bool(a), "prefix": p} for a, p in rs])
+            for h, rs in (rules or {}).items()]
+    return spark.createDataFrame(rows, f"host string, rules {RULES_TYPE}")
+
+
 def filter_allowed(candidates: DataFrame, robots: DataFrame | None,
                    url_col: str = "url") -> DataFrame:
-    """Drop candidates whose path matches a disallow prefix for their host.
+    """Drop candidates their host's robots rules disallow.
 
     Unknown hosts (no rules row) are allowed — the allow-all default that
-    keeps reference parity.
+    keeps reference parity. Two rule schemas are accepted:
+
+    * ``(host, disallow_prefixes array<string>)`` — the classic
+      disallow-prefix subset: blocked iff any prefix matches.
+    * ``(host, rules array<struct<allow,prefix>>)`` — RFC 9309 §2.2.2
+      longest-match precedence: among the rules whose prefix matches the
+      path, the LONGEST prefix wins; at equal length Allow wins; no match
+      → allowed. (The ``*``/``$`` wildcard forms are not supported —
+      prefixes only.)
     """
     if robots is None:
         return candidates
@@ -41,21 +61,33 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame | None,
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     joined = df.join(F.broadcast(robots),
                      df["_host"] == robots["host"], "left")
+    if "rules" in robots.columns:
+        rules = F.coalesce(F.col("rules"), F.array().cast(RULES_TYPE))
+        matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+        # lexicographic struct max = longest prefix, Allow breaking ties
+        best_allow = F.array_max(F.transform(
+            matches,
+            lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                               r["allow"].cast("int").alias("a"))))["a"]
+        blocked = (F.size(matches) > 0) & (best_allow == 0)
+        return joined.filter(~blocked).drop("_host", "host", "rules")
     blocked = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
         lambda p: path.startswith(p))
     return joined.filter(~blocked).drop("_host", "host", "disallow_prefixes")
 
 
-def parse_robots_txt(content: str, user_agent: str = "*") -> list[str]:
-    """Extract Disallow path-prefixes for a user agent from robots.txt
-    content (the standard prefix subset; public RFC 9309 semantics for the
-    group-selection rule: the most specific matching agent group wins,
-    falling back to ``*``).
+def parse_robots_rules(content: str,
+                       user_agent: str = "*") -> list[tuple[bool, str]]:
+    """Extract the ``(allow, prefix)`` rule list for a user agent from
+    robots.txt content (RFC 9309 group selection: the most specific
+    matching agent group wins, falling back to ``*``).
 
-    Returns the disallow-prefix list for :func:`robots_table`.
-    """
-    groups: dict[str, list[str]] = {}
+    Empty-value ``Disallow:`` / ``Allow:`` lines match nothing and are
+    dropped — the RFC's "empty Disallow means the group disallows
+    nothing" quirk. Rule order is preserved (precedence is by prefix
+    length at match time, not file order)."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
     current_agents: list[str] = []
     last_was_agent = False
     for raw in (content or "").splitlines():
@@ -72,11 +104,11 @@ def parse_robots_txt(content: str, user_agent: str = "*") -> list[str]:
             for a in current_agents:
                 groups.setdefault(a, [])
             last_was_agent = True
-        elif key == "disallow":
+        elif key in ("disallow", "allow"):
             last_was_agent = False
             if value:
                 for a in current_agents:
-                    groups.setdefault(a, []).append(value)
+                    groups.setdefault(a, []).append((key == "allow", value))
         else:
             last_was_agent = False
 
@@ -86,6 +118,13 @@ def parse_robots_txt(content: str, user_agent: str = "*") -> list[str]:
     if candidates:
         return groups[max(candidates, key=len)]
     return groups.get("*", [])
+
+
+def parse_robots_txt(content: str, user_agent: str = "*") -> list[str]:
+    """Disallow-prefix subset of :func:`parse_robots_rules` — feeds the
+    classic ``(host, disallow_prefixes)`` table shape."""
+    return [p for allow, p in parse_robots_rules(content, user_agent)
+            if not allow]
 
 
 def robots_table_from_texts(spark: SparkSession,

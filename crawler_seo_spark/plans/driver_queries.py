@@ -903,6 +903,76 @@ def d_incremental_lsh_pairs(spark, sf_dir):
     return p1.unionByName(p2)
 
 
+# Paragraph-bearing corpus planted over the documents table (texts have no
+# newlines): 3 paragraphs per doc — own 80-char prefix, the 4-doc group
+# base's full text (shared across the group → cross-doc duplicates), own
+# full text (== paragraph 2 for the base doc itself → within-doc
+# duplicate). Both engines construct it identically.
+_PARA_BASE_SQL = """
+base AS (SELECT a.doc_id,
+    substr(a.text, 1, 80) || chr(10) || chr(10) || b.text
+      || chr(10) || chr(10) || a.text AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id - (a.doc_id % 4)
+  WHERE a.doc_id < 120),
+lists AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+          FROM base),
+occ AS (SELECT doc_id, r AS para_idx, trim(l[r + 1]) AS para
+        FROM lists CROSS JOIN (SELECT unnest(range(3)) AS r) t
+        WHERE r < len(l) AND length(trim(l[r + 1])) > 0),
+marked AS (SELECT doc_id, para_idx, para,
+           (row_number() OVER (PARTITION BY para
+                               ORDER BY doc_id, para_idx) > 1) AS is_dup
+           FROM occ)
+"""
+
+
+def _para_base(spark, sf_dir):
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 120")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    return (a.join(b, F.col("b.doc_id")
+                   == F.col("a.doc_id") - (F.col("a.doc_id") % 4))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.concat_ws("\n\n",
+                                F.substring(F.col("a.text"), 1, 80),
+                                F.col("b.text"),
+                                F.col("a.text")).alias("text")))
+
+
+@q("d_paragraph_stats", f"""
+WITH {_PARA_BASE_SQL}
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_ratio
+FROM marked GROUP BY doc_id
+""")
+def d_paragraph_stats(spark, sf_dir):
+    """Paragraph-level dedup, containment stats: per document, how many of
+    its paragraphs are repeats of an earlier (doc_id, para_idx) occurrence
+    anywhere in the corpus. First-occurrence selection is a hash groupBy
+    with map-side combine — only (hash, doc, idx) tuples shuffle."""
+    from ..operators.paragraph import paragraph_stats
+    return paragraph_stats(_para_base(spark, sf_dir))
+
+
+@q("d_paragraph_dedup_corpus", f"""
+WITH {_PARA_BASE_SQL}
+SELECT b.doc_id,
+       coalesce(string_agg(m.para, chr(10) || chr(10)
+                           ORDER BY m.para_idx), '') AS text
+FROM base b LEFT JOIN (SELECT * FROM marked WHERE NOT is_dup) m
+  USING (doc_id)
+GROUP BY b.doc_id
+""")
+def d_paragraph_dedup_corpus(spark, sf_dir):
+    """Paragraph-dedup'd corpus: every non-first paragraph occurrence
+    removed, survivors rejoined in original order; documents fully
+    deduplicated away keep an empty text (every input id present)."""
+    from ..operators.paragraph import drop_duplicate_paragraphs
+    return drop_duplicate_paragraphs(_para_base(spark, sf_dir))
+
+
 # ===========================================================================
 # Similarity search (operators/similarity.py)
 # ===========================================================================

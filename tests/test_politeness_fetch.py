@@ -270,6 +270,48 @@ def test_robots_fetch_uses_candidate_scheme(spark):
          ("https://dual.test/c",)], "url string")
     eng._refresh_robots(cand, round_id=0)
     rows = {r["host"]: r for r in eng._robots_dynamic.collect()}
-    assert rows["plain.test"]["disallow_prefixes"] == ["/priv/"]
+    assert [(r["allow"], r["prefix"]) for r in rows["plain.test"]["rules"]] \
+        == [(False, "/priv/")]
     assert rows["plain.test"]["fetch_ok"]
-    assert rows["dual.test"]["disallow_prefixes"] == ["/tls/"]  # https wins
+    assert [(r["allow"], r["prefix"]) for r in rows["dual.test"]["rules"]] \
+        == [(False, "/tls/")]  # https wins
+
+
+def test_rfc9309_allow_disallow_precedence(spark):
+    """RFC 9309 §2.2.2: among matching rules the LONGEST prefix wins,
+    Allow beats Disallow at equal length, no match → allowed, and an
+    empty-value Disallow matches nothing (the allow-all quirk)."""
+    from crawler_seo_spark.operators.robots import (
+        filter_allowed, parse_robots_rules, robots_rules_table)
+
+    body = ("User-agent: *\n"
+            "Disallow: /shop/\n"
+            "Allow: /shop/public/\n"
+            "Disallow: /shop/public/secret/\n"
+            "Allow: /tie\n"
+            "Disallow: /tie\n"
+            "Disallow:\n")          # empty value -> matches nothing
+    rules = parse_robots_rules(body)
+    assert rules == [(False, "/shop/"), (True, "/shop/public/"),
+                     (False, "/shop/public/secret/"), (True, "/tie"),
+                     (False, "/tie")]
+
+    robots = robots_rules_table(spark, {"h.test": rules})
+    cand = spark.createDataFrame(
+        [(f"https://h.test{p}",) for p in
+         ["/", "/shop/", "/shop/item", "/shop/public/", "/shop/public/x",
+          "/shop/public/secret/x", "/tie", "/tiebreak", "/other"]],
+        "url string")
+    kept = {r["url"].removeprefix("https://h.test")
+            for r in filter_allowed(cand, robots).collect()}
+    assert kept == {"/", "/shop/public/", "/shop/public/x", "/tie",
+                    "/tiebreak", "/other"}
+
+    # empty-Disallow-only group: everything allowed
+    only_empty = robots_rules_table(
+        spark, {"h.test": parse_robots_rules("User-agent: *\nDisallow:\n")})
+    assert filter_allowed(cand, only_empty).count() == cand.count()
+
+    # unknown host: allow-all (reference-parity default)
+    other = spark.createDataFrame([("https://nohost.test/x",)], "url string")
+    assert filter_allowed(other, robots).count() == 1

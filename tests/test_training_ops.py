@@ -502,3 +502,31 @@ def test_star_contraction_logarithmic_on_path_graph(spark):
     assert sorted(map(tuple, star.collect())) \
         == sorted(map(tuple, label.collect()))
     assert lab_rounds >= 1
+
+
+def test_paragraph_dedup_stats_and_corpus(spark):
+    """Paragraph-level exact dedup: global first occurrence (by doc_id,
+    para_idx) is the keeper; within-doc repeats, cross-doc repeats, empty
+    paragraphs, and fully-empty docs all behave."""
+    from crawler_seo_spark.operators.paragraph import (
+        drop_duplicate_paragraphs, paragraph_stats)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha\n\nshared block\n\nalpha"),
+         (1, "beta\n\nshared block"),
+         (2, "\n\nshared block\n\n   "),
+         (3, "")],
+        "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in paragraph_stats(docs).collect()}
+    assert (stats[0]["n_paras"], stats[0]["n_dup_paras"]) == (3, 1)
+    assert stats[0]["dup_ratio"] == round(1 / 3, 6)
+    assert (stats[1]["n_paras"], stats[1]["n_dup_paras"]) == (2, 1)
+    assert (stats[2]["n_paras"], stats[2]["n_dup_paras"]) == (1, 1)
+    assert 3 not in stats  # no non-empty paragraphs -> no stats row
+
+    corpus = {r["doc_id"]: r["text"]
+              for r in drop_duplicate_paragraphs(docs).collect()}
+    assert corpus[0] == "alpha\n\nshared block"
+    assert corpus[1] == "beta"
+    assert corpus[2] == ""  # everything was a duplicate
+    assert corpus[3] == ""  # empty doc still present
