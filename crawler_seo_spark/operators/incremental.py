@@ -86,17 +86,23 @@ class SignatureIndex:
         and publishes the appended signature snapshot.
 
         Only ``new_docs``' signatures are computed (one pass, pinned by
-        ``localCheckpoint`` so banding and the append write share it);
-        only they are written. Pair columns are canonical
-        ``(id_a, id_b) = (least, greatest)`` longs, distinct across bands.
-        Re-ingesting an id is the caller's contract to avoid (upstream
-        URL-seen filtering guarantees it in the crawl pipeline); duplicate
-        ids would pair with their earlier selves, surfacing — not
-        corrupting — the violation.
+        ``localCheckpoint`` so banding, the cross join, and the append
+        write all share it — a rebase recomputes none of them); only they
+        are written. Pair columns are canonical ``(id_a, id_b) = (least,
+        greatest)`` longs, distinct across bands. Re-ingesting an id is
+        the caller's contract to avoid (upstream URL-seen filtering
+        guarantees it in the crawl pipeline); duplicate ids would pair
+        with their earlier selves, surfacing — not corrupting — the
+        violation.
+
+        With a ``writer_id`` on the store, concurrent ingest writers
+        cooperate: a writer that loses the commit race aborts its staged
+        round and REBASES — re-deriving the cross pairs against the now
+        larger committed index (so the winner's batch is paired against
+        this one too) and re-appending onto the new parent. Without a
+        writer_id the loser raises (single-writer contract).
         """
-        prev_round = self.committed_round()
-        if round_id is None:
-            round_id = 0 if prev_round is None else prev_round + 1
+        from ..tables import ConcurrentCommitError
 
         obs = Observation()
         new_sigs = (self._signatures(new_docs)
@@ -105,39 +111,60 @@ class SignatureIndex:
         n_new = obs.get["n"]
         bn = banded_keys(new_sigs, self.bands, self.id_col, k=self.k)
 
-        ln, rn = bn.alias("l"), bn.alias("r")
-        pairs = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
-                         & (F.col("l.band_key") == F.col("r.band_key"))
-                         & (F.col(f"l.{self.id_col}")
-                            < F.col(f"r.{self.id_col}")))
-                 .select(F.col(f"l.{self.id_col}").alias("id_a"),
-                         F.col(f"r.{self.id_col}").alias("id_b")))
+        ln = bn.alias("l")
+        # the ingest batch is small by contract (it is broadcast against
+        # the index below) — broadcast one side of the new×new self-join
+        # too, saving both of its shuffle exchanges
+        rn = (F.broadcast(bn) if self.broadcast_new else bn).alias("r")
+        pairs_new = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
+                             & (F.col("l.band_key") == F.col("r.band_key"))
+                             & (F.col(f"l.{self.id_col}")
+                                < F.col(f"r.{self.id_col}")))
+                     .select(F.col(f"l.{self.id_col}").alias("id_a"),
+                             F.col(f"r.{self.id_col}").alias("id_b")))
 
-        if prev_round is not None:
-            index = self.store.read(spark, self.table, prev_round)
-            bi = banded_keys(index, self.bands, self.id_col, k=self.k)
-            new_side = F.broadcast(bn) if self.broadcast_new else bn
-            cross = (bi.alias("i")
-                     .join(new_side.alias("n"),
-                           (F.col("i.band") == F.col("n.band"))
-                           & (F.col("i.band_key") == F.col("n.band_key")))
-                     .filter(F.col(f"i.{self.id_col}")
-                             != F.col(f"n.{self.id_col}"))
-                     .select(F.least(F.col(f"i.{self.id_col}"),
-                                     F.col(f"n.{self.id_col}")).alias("id_a"),
-                             F.greatest(F.col(f"i.{self.id_col}"),
-                                        F.col(f"n.{self.id_col}"))
-                             .alias("id_b")))
-            pairs = pairs.unionByName(cross)
-        pairs = pairs.distinct()
+        last_conflict: int | None = None
+        while True:
+            prev_round = self.committed_round()
+            rid = round_id if round_id is not None else (
+                0 if prev_round is None else prev_round + 1)
+            pairs = pairs_new
+            if prev_round is not None:
+                index = self.store.read(spark, self.table, prev_round)
+                bi = banded_keys(index, self.bands, self.id_col, k=self.k)
+                new_side = F.broadcast(bn) if self.broadcast_new else bn
+                cross = (bi.alias("i")
+                         .join(new_side.alias("n"),
+                               (F.col("i.band") == F.col("n.band"))
+                               & (F.col("i.band_key")
+                                  == F.col("n.band_key")))
+                         .filter(F.col(f"i.{self.id_col}")
+                                 != F.col(f"n.{self.id_col}"))
+                         .select(F.least(F.col(f"i.{self.id_col}"),
+                                         F.col(f"n.{self.id_col}"))
+                                 .alias("id_a"),
+                                 F.greatest(F.col(f"i.{self.id_col}"),
+                                            F.col(f"n.{self.id_col}"))
+                                 .alias("id_b")))
+                pairs = pairs.unionByName(cross)
+            pairs = pairs.distinct()
 
-        self.store.append(self.table, new_sigs, round_id,
-                          parent_round=prev_round)
-        counters = {"n_new": int(n_new)}
-        if prev_round is not None:
-            prev_total = self.store.manifest()["counters"].get("n_total", 0)
-            counters["n_total"] = prev_total + int(n_new)
-        else:
-            counters["n_total"] = int(n_new)
-        self.store.commit_round(round_id, counters)
-        return pairs
+            self.store.append(self.table, new_sigs, rid,
+                              parent_round=prev_round)
+            counters = {"n_new": int(n_new)}
+            if prev_round is not None:
+                prev_total = self.store.manifest()["counters"] \
+                    .get("n_total", 0)
+                counters["n_total"] = prev_total + int(n_new)
+            else:
+                counters["n_total"] = int(n_new)
+            try:
+                self.store.commit_round(rid, counters)
+                return pairs
+            except ConcurrentCommitError:
+                if self.store.writer_id is None or round_id is not None:
+                    raise  # single-writer contract / caller pinned the round
+                if self.committed_round() == last_conflict:
+                    raise  # marker holder made no progress: orphan, not peer
+                last_conflict = self.committed_round()
+                self.store.abort_round(rid)

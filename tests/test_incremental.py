@@ -82,3 +82,41 @@ def test_index_resumes_across_instances(spark, tmp_path):
 def test_ingest_rejects_uneven_bands(tmp_path):
     with pytest.raises(AssertionError):
         SignatureIndex(SnapshotStore(str(tmp_path / "s")), k=10, bands=4)
+
+
+def test_concurrent_ingest_writers_rebase(spark, tmp_path):
+    """Two ingest writers racing on one index store: the loser rebases —
+    its pairs are re-derived against the WINNER's committed batch too, so
+    the union across writers equals the full-corpus recompute."""
+    import threading
+
+    root = str(tmp_path / "sigidx")
+    SignatureIndex(SnapshotStore(root, writer_id="w0"), **KW).ingest(
+        spark, _docs(spark, range(20)))
+
+    results, errors = {}, []
+
+    def runner(writer, ids):
+        try:
+            idx = SignatureIndex(SnapshotStore(root, writer_id=writer), **KW)
+            results[writer] = {(r["id_a"], r["id_b"]) for r in
+                               idx.ingest(spark, _docs(spark, ids)).collect()}
+        except BaseException as e:
+            errors.append((writer, e))
+
+    ts = [threading.Thread(target=runner, args=("wa", range(20, 30))),
+          threading.Thread(target=runner, args=("wb", range(30, 40)))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    check = SignatureIndex(SnapshotStore(root, writer_id="chk"), **KW)
+    assert check.committed_round() == 2
+    assert check.signatures(spark).count() == 40
+    full_sigs = check._signatures(_docs(spark, range(40)))
+    full = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(full_sigs, bands=4).collect()}
+    batch0 = {(a, b) for a, b in full if a < 20 and b < 20}
+    assert results["wa"] | results["wb"] == full - batch0
