@@ -258,7 +258,7 @@ class CrawlEngine:
         if self._robots_dynamic is None:
             self._robots_dynamic = self.spark.createDataFrame(
                 [], "host string, "
-                    "rules array<struct<allow:boolean,prefix:string>>, "
+                    "rules array<struct<allow:boolean,prefix:string,rx:string>>, "
                     "fetched_round int, fetch_ok boolean")
         # carry the candidates' own scheme: an http-only origin serves its
         # robots at http://, never https:// (max() prefers https when a
@@ -283,6 +283,7 @@ class CrawlEngine:
 
             from crawler_seo_spark.operators.robots import (
                 parse_robots_rules,
+                rule_structs,
             )
             fetch = factory()
             for pdf in batches:
@@ -295,17 +296,15 @@ class CrawlEngine:
                     except Exception:
                         ok, body = False, ""
                     rows.append({"host": host, "fetch_ok": ok,
-                                 "rules": [
-                                     {"allow": a, "prefix": p}
-                                     for a, p in parse_robots_rules(
-                                         body or "", ua)]})
+                                 "rules": rule_structs(
+                                     parse_robots_rules(body or "", ua))})
                 yield pd.DataFrame(rows,
                                    columns=["host", "rules", "fetch_ok"])
 
         obs = Observation()
         fetched = (todo.mapInPandas(
             kernel, "host string, "
-                    "rules array<struct<allow:boolean,prefix:string>>, "
+                    "rules array<struct<allow:boolean,prefix:string,rx:string>>, "
                     "fetch_ok boolean")
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1))

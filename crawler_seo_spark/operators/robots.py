@@ -20,7 +20,21 @@ from pyspark.sql import functions as F
 from ..functions.urlnorm import host_col
 
 
-RULES_TYPE = "array<struct<allow:boolean,prefix:string>>"
+RULES_TYPE = "array<struct<allow:boolean,prefix:string,rx:string>>"
+
+
+def compile_wildcard(pattern: str) -> str | None:
+    """RFC 9309 ``*``/``$`` pattern → anchored Java regex, or None for a
+    plain prefix (the fast startswith path). ``*`` matches any run of
+    characters; a trailing ``$`` anchors the end; matching is always
+    anchored at the path start."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    import re as _re
+    anchor_end = pattern.endswith("$")
+    body = pattern[:-1] if anchor_end else pattern
+    rx = "^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return rx + "$" if anchor_end else rx
 
 
 def robots_table(spark: SparkSession,
@@ -31,12 +45,19 @@ def robots_table(spark: SparkSession,
         rows, "host string, disallow_prefixes array<string>")
 
 
+def rule_structs(rules: list[tuple[bool, str]]) -> list[dict]:
+    """(allow, pattern) tuples → rule structs with the regex precompiled
+    (None for plain prefixes — those take the startswith fast path)."""
+    return [{"allow": bool(a), "prefix": p, "rx": compile_wildcard(p)}
+            for a, p in rules]
+
+
 def robots_rules_table(spark: SparkSession,
                        rules: dict[str, list[tuple[bool, str]]] | None
                        ) -> DataFrame:
-    """RFC 9309 rules table: host → ordered ``(allow, prefix)`` rules."""
-    rows = [(h, [{"allow": bool(a), "prefix": p} for a, p in rs])
-            for h, rs in (rules or {}).items()]
+    """RFC 9309 rules table: host → ordered ``(allow, pattern)`` rules
+    (patterns may use ``*``/``$`` wildcards)."""
+    rows = [(h, rule_structs(rs)) for h, rs in (rules or {}).items()]
     return spark.createDataFrame(rows, f"host string, rules {RULES_TYPE}")
 
 
@@ -49,11 +70,14 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame | None,
 
     * ``(host, disallow_prefixes array<string>)`` — the classic
       disallow-prefix subset: blocked iff any prefix matches.
-    * ``(host, rules array<struct<allow,prefix>>)`` — RFC 9309 §2.2.2
-      longest-match precedence: among the rules whose prefix matches the
-      path, the LONGEST prefix wins; at equal length Allow wins; no match
-      → allowed. (The ``*``/``$`` wildcard forms are not supported —
-      prefixes only.)
+    * ``(host, rules array<struct<allow,prefix,rx>>)`` — RFC 9309 §2.2.2
+      longest-match precedence: among the rules whose pattern matches the
+      path, the LONGEST pattern wins; at equal length Allow wins; no
+      match → allowed. Patterns may use ``*`` (any run) and a trailing
+      ``$`` (end anchor): those carry a precompiled regex in ``rx`` and
+      match via ``regexp_like``; plain prefixes keep the ``startswith``
+      fast path (``rx`` null). Precedence length is the raw pattern
+      length, wildcards included (the common-crawler convention).
     """
     if robots is None:
         return candidates
@@ -63,7 +87,11 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame | None,
                      df["_host"] == robots["host"], "left")
     if "rules" in robots.columns:
         rules = F.coalesce(F.col("rules"), F.array().cast(RULES_TYPE))
-        matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+        matches = F.filter(
+            rules,
+            lambda r: F.when(r["rx"].isNull(),
+                             path.startswith(r["prefix"]))
+            .otherwise(F.regexp_like(path, r["rx"])))
         # lexicographic struct max = longest prefix, Allow breaking ties
         best_allow = F.array_max(F.transform(
             matches,

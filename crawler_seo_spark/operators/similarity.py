@@ -243,6 +243,33 @@ def ivf_assign_with(corpus: DataFrame, centroids: list[list[float]],
     return corpus.withColumn("ivf_list", assign(F.col(vec_col)))
 
 
+def ivf_write_partitioned(assigned: DataFrame, path: str,
+                          id_col: str = "vec_id") -> None:
+    """Persist an IVF-assigned corpus partitioned by ``ivf_list`` — the
+    storage layout that makes probe-routed search scan ``nprobe/n_lists``
+    of the data: a search filtered to its probe lists becomes a parquet
+    PartitionFilter, so non-probed lists are never opened (dynamic
+    partition pruning at the scan, pinned by
+    ``test_ivf_partitioned_search_prunes``)."""
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+
+def ivf_topk_from_partitioned(spark, path: str,
+                              centroids: list[list[float]],
+                              queries: DataFrame, k: int = 5,
+                              nprobe: int = 2, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              query_id_col: str = "query_id") -> DataFrame:
+    """IVF search over a :func:`ivf_write_partitioned` corpus. Same
+    semantics as :func:`ivf_topk`; the probed-lists join is pushed into
+    the partitioned scan (the broadcast probe side drives dynamic
+    partition pruning), so only ``nprobe``-worth of partitions is read."""
+    assigned = spark.read.parquet(path)
+    return ivf_topk(assigned, centroids, queries, k=k, nprobe=nprobe,
+                    vec_col=vec_col, id_col=id_col,
+                    query_id_col=query_id_col)
+
+
 def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
              queries: DataFrame, k: int = 5, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",

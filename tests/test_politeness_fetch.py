@@ -315,3 +315,31 @@ def test_rfc9309_allow_disallow_precedence(spark):
     # unknown host: allow-all (reference-parity default)
     other = spark.createDataFrame([("https://nohost.test/x",)], "url string")
     assert filter_allowed(other, robots).count() == 1
+
+
+def test_rfc9309_wildcard_patterns(spark):
+    """RFC 9309 * and $ wildcards: * matches any run, trailing $ anchors
+    the end; wildcard rules ride a precompiled regex while plain prefixes
+    keep the startswith fast path; precedence is raw pattern length."""
+    from crawler_seo_spark.operators.robots import (
+        compile_wildcard, filter_allowed, robots_rules_table)
+
+    assert compile_wildcard("/plain/") is None
+    assert compile_wildcard("/a/*/b$") == "^/a/.*/b$"
+
+    robots = robots_rules_table(spark, {"h.test": [
+        (False, "/*.pdf$"),          # block pdfs anywhere...
+        (True, "/docs/*.pdf$"),      # ...except under /docs/ (longer)
+        (False, "/tmp*"),            # block /tmp, /tmp2, /tmp/x
+        (True, "/exact$"),           # allow exactly /exact
+        (False, "/exact"),           # block /exact* extensions (same len ->
+    ]})                              # allow wins only on the exact path)
+    cand = spark.createDataFrame(
+        [(f"https://h.test{p}",) for p in
+         ["/x.pdf", "/docs/a.pdf", "/docs/a.pdfx", "/tmp", "/tmp2/y",
+          "/temp", "/exact", "/exactly", "/free"]],
+        "url string")
+    kept = {r["url"].removeprefix("https://h.test")
+            for r in filter_allowed(cand, robots).collect()}
+    assert kept == {"/docs/a.pdf", "/docs/a.pdfx", "/temp", "/exact",
+                    "/free"}

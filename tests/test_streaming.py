@@ -71,3 +71,44 @@ def test_stateful_counters(spark, events_batch, events_dir):
         got[r["event_type"]] = max(got.get(r["event_type"], 0),
                                    r["running_count"])
     assert got == want
+
+
+def test_streaming_dedup_ingest_incremental(spark, tmp_path):
+    """foreachBatch incremental dedup: two file-source micro-batches
+    ingest into one SignatureIndex; each epoch computes only its own
+    signatures (index rounds advance per batch, delta dirs hold only the
+    batch), and the union of per-epoch pairs equals the full-corpus LSH
+    recompute."""
+    from crawler_seo_spark.operators.dedup import lsh_candidate_pairs
+    from crawler_seo_spark.operators.incremental import SignatureIndex
+    from crawler_seo_spark.streaming.ingest import start_dedup_ingest
+    from crawler_seo_spark.tables import SnapshotStore
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, f"the quick brown fox {i // 2} jumps over the lazy dog "
+                 f"number {i // 2} in the corpus") for i in ids],
+            "doc_id long, text string")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs(range(20)).coalesce(1).write.parquet(str(src / "b0"))
+    kw = dict(k=8, bands=4, hash_mode="xxhash64")
+    index = SignatureIndex(SnapshotStore(str(tmp_path / "idx")), **kw)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("recursiveFileLookup", "true").parquet(str(src))
+    pairs_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+
+    q = start_dedup_ingest(stream, index, pairs_dir, ckpt)
+    q.awaitTermination(120)
+    docs(range(20, 40)).coalesce(1).write.parquet(str(src / "b1"))
+    q2 = start_dedup_ingest(stream, index, pairs_dir, ckpt)
+    q2.awaitTermination(120)
+
+    assert index.committed_round() == 1  # one ingest round per micro-batch
+    assert index.signatures(spark).count() == 40
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(pairs_dir).collect()}
+    full = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        index._signatures(docs(range(40))), bands=4).collect()}
+    assert got == full

@@ -530,3 +530,32 @@ def test_paragraph_dedup_stats_and_corpus(spark):
     assert corpus[1] == "beta"
     assert corpus[2] == ""  # everything was a duplicate
     assert corpus[3] == ""  # empty doc still present
+
+
+def test_ivf_partitioned_search_prunes(spark, tmp_path):
+    """The IVF storage path: corpus written partitionBy(ivf_list), search
+    routed by probe lists must (a) return exactly the in-memory ivf_topk
+    result and (b) push the probe restriction into the parquet scan as a
+    dynamic-partition-pruning PartitionFilter — non-probed lists are never
+    opened, the nprobe/n_lists scan fraction real ANN serving needs."""
+    from crawler_seo_spark.operators.similarity import (
+        ivf_assign, ivf_topk, ivf_topk_from_partitioned,
+        ivf_write_partitioned)
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).round(4).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+    assigned, cents = ivf_assign(corpus, n_lists=8)
+    path = str(tmp_path / "ivf")
+    ivf_write_partitioned(assigned, path)
+    queries = corpus.filter("vec_id < 2").withColumnRenamed(
+        "vec_id", "query_id")
+    out = ivf_topk_from_partitioned(spark, path, cents, queries,
+                                    k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(ivf_list" in plan, plan[:2000]
+    mem = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+           ivf_topk(assigned, cents, queries, k=3, nprobe=2).collect()}
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    assert got == mem and len(got) == 6
