@@ -1,13 +1,13 @@
-"""Incremental dedup against a PERSISTED signature index.
+"""Incremental dedup against PERSISTED signature indexes.
 
 A 100 TB training-data pipeline does not deduplicate a frozen corpus once:
 it ingests batches, and each batch must be checked against everything seen
-so far without recomputing the corpus. The round-3 operators
+so far without recomputing the corpus. The one-shot operators
 (:func:`~crawler_seo_spark.operators.dedup.minhash_signatures` /
-``lsh_candidate_pairs``) are whole-corpus one-shots; this module adds the
-ingest shape:
+``lsh_candidate_pairs`` / ``simhash_pairs``) stay the whole-corpus tools;
+this module adds the ingest shape for both signature families:
 
-* the MinHash signatures of every past document live in a provider table
+* signatures of every past document live in a provider table
   (:class:`~crawler_seo_spark.tables.SnapshotStore`), published per ingest
   round through Iceberg-style FAST-APPEND snapshots — each round writes
   ONLY the new batch's signatures (O(batch) IO) and the snapshot manifest
@@ -15,16 +15,21 @@ ingest shape:
   (``merge_into``'s shape, right for working-set-sized state like the
   frontier) would be O(corpus) per ingest — the scale-killer this design
   avoids.
-* :meth:`SignatureIndex.ingest` computes signatures for the NEW batch
-  only, emits LSH candidate pairs of new-vs-(index ∪ new) via the same
-  banded equi-join as the full-corpus operator (the index side streams
-  from parquet, the new side is broadcast — an ingest batch is small
-  relative to the corpus), then publishes the appended snapshot. Pairs
-  already emitted by earlier rounds (old×old) are never re-derived.
+* ``ingest`` computes signatures for the NEW batch only, emits candidate
+  pairs of new-vs-(index ∪ new) via the same banded equi-join as the
+  full-corpus operator (the index side streams from parquet, the new side
+  is broadcast — an ingest batch is small relative to the corpus), then
+  publishes the appended snapshot. Pairs already emitted by earlier
+  rounds (old×old) are never re-derived.
+* concurrent ingest writers cooperate when the store carries a
+  ``writer_id``: a lost commit race aborts the staged round and REBASES —
+  re-deriving the cross pairs against the winner's (larger) committed
+  index, so racing batches pair against each other; signatures are never
+  recomputed (pinned once per ingest call).
 
-Invariant (pytest + the ``d_incremental_lsh_pairs`` DuckDB oracle): the
-union of pairs over all ingest rounds equals the full-corpus
-``lsh_candidate_pairs`` over the union of batches.
+Invariants (pytest + the ``d_incremental_*`` DuckDB oracles): the union
+of pairs over all ingest rounds equals the full-corpus recompute over the
+union of batches.
 """
 
 from __future__ import annotations
@@ -32,44 +37,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import SnapshotStore
-from .dedup import banded_keys, minhash_signatures
+from ..tables import ConcurrentCommitError, SnapshotStore
+from .dedup import banded_keys, minhash_signatures, simhash64
 
 
-class SignatureIndex:
-    """Persisted MinHash signature index for incremental LSH dedup.
+class _IncrementalIndex:
+    """Shared scaffolding: committed-round bookkeeping and the
+    append → commit → (rebase on lost race) loop. Subclasses provide
+    ``_signatures`` (new-batch signature computation) and
+    ``_derive_pairs`` (candidate pairs given the committed parent
+    round)."""
 
-    The driver holds only the store handle and the ingest-round counter —
-    signatures live in the provider table, candidate generation is one
-    banded equi-join per ingest.
-    """
-
-    def __init__(self, store: SnapshotStore, table: str = "signatures",
-                 id_col: str = "doc_id", text_col: str = "text",
-                 k: int = 32, bands: int = 8, shingle_n: int = 5,
-                 shingle_mode: str = "char", hash_mode: str = "md5",
-                 impl: str = "arrow", seed: int = 42,
+    def __init__(self, store: SnapshotStore, table: str,
+                 id_col: str, text_col: str,
                  broadcast_new: bool = True) -> None:
-        assert k % bands == 0, "k must divide into equal bands"
         self.store = store
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
-        self.k = k
-        self.bands = bands
-        self.shingle_n = shingle_n
-        self.shingle_mode = shingle_mode
-        self.hash_mode = hash_mode
-        self.impl = impl
-        self.seed = seed
         self.broadcast_new = broadcast_new
-
-    def _signatures(self, docs: DataFrame) -> DataFrame:
-        return minhash_signatures(
-            docs, text_col=self.text_col, id_col=self.id_col, k=self.k,
-            shingle_n=self.shingle_n, seed=self.seed,
-            shingle_mode=self.shingle_mode, hash_mode=self.hash_mode,
-            impl=self.impl)
 
     def committed_round(self) -> int | None:
         m = self.store.manifest()
@@ -80,6 +66,13 @@ class SignatureIndex:
         r = self.committed_round()
         return None if r is None else self.store.read(spark, self.table, r)
 
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
+                      prev_round: int | None) -> DataFrame:
+        raise NotImplementedError
+
     def ingest(self, spark: SparkSession, new_docs: DataFrame,
                round_id: int | None = None) -> DataFrame:
         """Ingest a batch: returns candidate pairs of new-vs-(index ∪ new)
@@ -88,83 +81,182 @@ class SignatureIndex:
         Only ``new_docs``' signatures are computed (one pass, pinned by
         ``localCheckpoint`` so banding, the cross join, and the append
         write all share it — a rebase recomputes none of them); only they
-        are written. Pair columns are canonical ``(id_a, id_b) = (least,
-        greatest)`` longs, distinct across bands. Re-ingesting an id is
-        the caller's contract to avoid (upstream URL-seen filtering
-        guarantees it in the crawl pipeline); duplicate ids would pair
-        with their earlier selves, surfacing — not corrupting — the
-        violation.
+        are written. Re-ingesting an id is the caller's contract to avoid
+        (upstream URL-seen filtering guarantees it in the crawl
+        pipeline); duplicate ids would pair with their earlier selves,
+        surfacing — not corrupting — the violation.
 
-        With a ``writer_id`` on the store, concurrent ingest writers
-        cooperate: a writer that loses the commit race aborts its staged
-        round and REBASES — re-deriving the cross pairs against the now
-        larger committed index (so the winner's batch is paired against
-        this one too) and re-appending onto the new parent. Without a
-        writer_id the loser raises (single-writer contract).
+        With a ``writer_id`` on the store, a writer that loses the commit
+        race aborts its staged round and rebases (see module docstring);
+        without one the loser raises (single-writer contract).
         """
-        from ..tables import ConcurrentCommitError
-
         obs = Observation()
         new_sigs = (self._signatures(new_docs)
                     .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-        n_new = obs.get["n"]
-        bn = banded_keys(new_sigs, self.bands, self.id_col, k=self.k)
-
-        ln = bn.alias("l")
-        # the ingest batch is small by contract (it is broadcast against
-        # the index below) — broadcast one side of the new×new self-join
-        # too, saving both of its shuffle exchanges
-        rn = (F.broadcast(bn) if self.broadcast_new else bn).alias("r")
-        pairs_new = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
-                             & (F.col("l.band_key") == F.col("r.band_key"))
-                             & (F.col(f"l.{self.id_col}")
-                                < F.col(f"r.{self.id_col}")))
-                     .select(F.col(f"l.{self.id_col}").alias("id_a"),
-                             F.col(f"r.{self.id_col}").alias("id_b")))
+        n_new = int(obs.get["n"])
 
         last_conflict: int | None = None
         while True:
             prev_round = self.committed_round()
             rid = round_id if round_id is not None else (
                 0 if prev_round is None else prev_round + 1)
-            pairs = pairs_new
-            if prev_round is not None:
-                index = self.store.read(spark, self.table, prev_round)
-                bi = banded_keys(index, self.bands, self.id_col, k=self.k)
-                new_side = F.broadcast(bn) if self.broadcast_new else bn
-                cross = (bi.alias("i")
-                         .join(new_side.alias("n"),
-                               (F.col("i.band") == F.col("n.band"))
-                               & (F.col("i.band_key")
-                                  == F.col("n.band_key")))
-                         .filter(F.col(f"i.{self.id_col}")
-                                 != F.col(f"n.{self.id_col}"))
-                         .select(F.least(F.col(f"i.{self.id_col}"),
-                                         F.col(f"n.{self.id_col}"))
-                                 .alias("id_a"),
-                                 F.greatest(F.col(f"i.{self.id_col}"),
-                                            F.col(f"n.{self.id_col}"))
-                                 .alias("id_b")))
-                pairs = pairs.unionByName(cross)
-            pairs = pairs.distinct()
-
+            pairs = self._derive_pairs(spark, new_sigs, prev_round)
             self.store.append(self.table, new_sigs, rid,
                               parent_round=prev_round)
-            counters = {"n_new": int(n_new)}
+            counters = {"n_new": n_new, "n_total": n_new}
             if prev_round is not None:
-                prev_total = self.store.manifest()["counters"] \
+                counters["n_total"] += self.store.manifest()["counters"] \
                     .get("n_total", 0)
-                counters["n_total"] = prev_total + int(n_new)
-            else:
-                counters["n_total"] = int(n_new)
             try:
                 self.store.commit_round(rid, counters)
                 return pairs
             except ConcurrentCommitError:
                 if self.store.writer_id is None or round_id is not None:
-                    raise  # single-writer contract / caller pinned the round
+                    raise  # single-writer contract / caller pinned round
                 if self.committed_round() == last_conflict:
                     raise  # marker holder made no progress: orphan, not peer
                 last_conflict = self.committed_round()
                 self.store.abort_round(rid)
+
+    def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if self.broadcast_new else df
+
+
+class SignatureIndex(_IncrementalIndex):
+    """Persisted MinHash signature index for incremental LSH dedup.
+
+    The driver holds only the store handle and the ingest-round counter —
+    signatures live in the provider table, candidate generation is one
+    banded equi-join per ingest. Pair columns are canonical
+    ``(id_a, id_b) = (least, greatest)``, distinct across bands.
+    """
+
+    def __init__(self, store: SnapshotStore, table: str = "signatures",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 32, bands: int = 8, shingle_n: int = 5,
+                 shingle_mode: str = "char", hash_mode: str = "md5",
+                 impl: str = "arrow", seed: int = 42,
+                 broadcast_new: bool = True) -> None:
+        assert k % bands == 0, "k must divide into equal bands"
+        super().__init__(store, table, id_col, text_col, broadcast_new)
+        self.k = k
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.shingle_mode = shingle_mode
+        self.hash_mode = hash_mode
+        self.impl = impl
+        self.seed = seed
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            docs, text_col=self.text_col, id_col=self.id_col, k=self.k,
+            shingle_n=self.shingle_n, seed=self.seed,
+            shingle_mode=self.shingle_mode, hash_mode=self.hash_mode,
+            impl=self.impl)
+
+    def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
+                      prev_round: int | None) -> DataFrame:
+        bn = banded_keys(new_sigs, self.bands, self.id_col, k=self.k)
+        ln = bn.alias("l")
+        # the ingest batch is small by contract (it is broadcast against
+        # the index below) — broadcast one side of the new×new self-join
+        # too, saving both of its shuffle exchanges
+        rn = self._maybe_broadcast(bn).alias("r")
+        pairs = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
+                         & (F.col("l.band_key") == F.col("r.band_key"))
+                         & (F.col(f"l.{self.id_col}")
+                            < F.col(f"r.{self.id_col}")))
+                 .select(F.col(f"l.{self.id_col}").alias("id_a"),
+                         F.col(f"r.{self.id_col}").alias("id_b")))
+        if prev_round is not None:
+            index = self.store.read(spark, self.table, prev_round)
+            bi = banded_keys(index, self.bands, self.id_col, k=self.k)
+            cross = (bi.alias("i")
+                     .join(self._maybe_broadcast(bn).alias("n"),
+                           (F.col("i.band") == F.col("n.band"))
+                           & (F.col("i.band_key") == F.col("n.band_key")))
+                     .filter(F.col(f"i.{self.id_col}")
+                             != F.col(f"n.{self.id_col}"))
+                     .select(F.least(F.col(f"i.{self.id_col}"),
+                                     F.col(f"n.{self.id_col}"))
+                             .alias("id_a"),
+                             F.greatest(F.col(f"i.{self.id_col}"),
+                                        F.col(f"n.{self.id_col}"))
+                             .alias("id_b")))
+            pairs = pairs.unionByName(cross)
+        return pairs.distinct()
+
+
+class SimHashIndex(_IncrementalIndex):
+    """Persisted SimHash index for incremental Hamming-banded dedup —
+    the second signature family of the brief. Index rows are
+    ``(id, simhash)``; candidates come from the pigeonhole band join
+    (hamming ≤ bands−1 ⇒ a shared band), verified exactly with
+    ``bit_count(xor)`` BEFORE the distinct so the exchange carries only
+    surviving pairs. Output: (id_a, id_b, hamming)."""
+
+    def __init__(self, store: SnapshotStore, table: str = "simhashes",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 bits: int = 32, band_bits: int = 8, max_hamming: int = 3,
+                 hash_mode: str = "md5",
+                 broadcast_new: bool = True) -> None:
+        assert bits % band_bits == 0
+        assert max_hamming < bits // band_bits, \
+            "pigeonhole needs max_hamming < n_bands"
+        super().__init__(store, table, id_col, text_col, broadcast_new)
+        self.bits = bits
+        self.band_bits = band_bits
+        self.max_hamming = max_hamming
+        self.hash_mode = hash_mode
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(self.id_col),
+            simhash64(F.col(self.text_col), self.bits,
+                      self.hash_mode).alias("sh"))
+
+    def _banded(self, h: DataFrame) -> DataFrame:
+        n_bands = self.bits // self.band_bits
+        mask = (1 << self.band_bits) - 1
+        return h.select(
+            self.id_col, "sh",
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("sh"), b * self.band_bits)
+                .bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])).alias("band", "band_key"))
+
+    def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
+                      prev_round: int | None) -> DataFrame:
+        bn = self._banded(new_sigs)
+        hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+        pairs = (bn.alias("l")
+                 .join(self._maybe_broadcast(bn).alias("r"),
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_key") == F.col("r.band_key"))
+                       & (F.col(f"l.{self.id_col}")
+                          < F.col(f"r.{self.id_col}")))
+                 .select(F.col(f"l.{self.id_col}").alias("id_a"),
+                         F.col(f"r.{self.id_col}").alias("id_b"),
+                         hamming.alias("hamming")))
+        if prev_round is not None:
+            index = self.store.read(spark, self.table, prev_round)
+            bi = self._banded(index)
+            xham = F.bit_count(F.col("i.sh").bitwiseXOR(F.col("n.sh")))
+            cross = (bi.alias("i")
+                     .join(self._maybe_broadcast(bn).alias("n"),
+                           (F.col("i.band") == F.col("n.band"))
+                           & (F.col("i.band_key") == F.col("n.band_key")))
+                     .filter(F.col(f"i.{self.id_col}")
+                             != F.col(f"n.{self.id_col}"))
+                     .select(F.least(F.col(f"i.{self.id_col}"),
+                                     F.col(f"n.{self.id_col}"))
+                             .alias("id_a"),
+                             F.greatest(F.col(f"i.{self.id_col}"),
+                                        F.col(f"n.{self.id_col}"))
+                             .alias("id_b"),
+                             xham.alias("hamming")))
+            pairs = pairs.unionByName(cross)
+        return (pairs.filter(F.col("hamming") <= self.max_hamming)
+                .distinct())

@@ -903,6 +903,61 @@ def d_incremental_lsh_pairs(spark, sf_dir):
     return p1.unionByName(p2)
 
 
+@q("d_incremental_simhash_pairs", r"""
+WITH base AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id - (a.doc_id % 2)
+  WHERE a.doc_id < 100),
+norm AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t
+  FROM base),
+hs AS (SELECT doc_id,
+        list_transform(list_filter(string_split(t, ' '), x -> x <> ''),
+                       tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hh
+       FROM norm),
+sh AS (SELECT doc_id,
+  list_aggregate(list_transform(range(0, 32), b ->
+    (CASE WHEN 2 * list_aggregate(
+              list_transform(hh, h -> (floor(h / (2::BIGINT ^ b)))::BIGINT % 2),
+              'sum') > len(hh)
+          THEN 1::BIGINT ELSE 0::BIGINT END) * (1::BIGINT << (31 - b)::INT)),
+    'sum')::BIGINT AS sh
+  FROM hs)
+-- max_hamming=3 < n_bands=4 ⇒ pigeonhole makes the banded incremental
+-- result equal the plain threshold join
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       bit_count(xor(l.sh, r.sh))::INT AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sh, r.sh)) <= 3
+""")
+def d_incremental_simhash_pairs(spark, sf_dir):
+    """INCREMENTAL SimHash dedup (the brief's second signature family):
+    two batches ingested against the persisted (doc_id, simhash) index —
+    round 1 computes only its own hashes, fast-append snapshot, banded
+    Hamming join vs the round-0 snapshot. Union of per-round pairs ==
+    the full-corpus threshold pair set (pigeonhole: every hamming≤3 pair
+    shares one of the 4 bands), which the oracle states as a plain
+    bit_count(xor) join."""
+    import tempfile
+
+    from ..operators.incremental import SimHashIndex
+    from ..tables import SnapshotStore
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 100")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    base = (a.join(b, F.col("b.doc_id")
+                   == F.col("a.doc_id") - (F.col("a.doc_id") % 2))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.when(F.col("a.doc_id") % 2 == 1, F.col("b.text"))
+                    .otherwise(F.col("a.text")).alias("text")))
+    idx = SimHashIndex(
+        SnapshotStore(tempfile.mkdtemp(prefix="shidx_dq_")), max_hamming=3)
+    p1 = idx.ingest(spark, base.filter("doc_id < 50"))
+    p2 = idx.ingest(spark, base.filter("doc_id >= 50"))
+    return p1.unionByName(p2)
+
+
 # Paragraph-bearing corpus planted over the documents table (texts have no
 # newlines): 3 paragraphs per doc — own 80-char prefix, the 4-doc group
 # base's full text (shared across the group → cross-doc duplicates), own

@@ -120,3 +120,35 @@ def test_concurrent_ingest_writers_rebase(spark, tmp_path):
             for r in lsh_candidate_pairs(full_sigs, bands=4).collect()}
     batch0 = {(a, b) for a, b in full if a < 20 and b < 20}
     assert results["wa"] | results["wb"] == full - batch0
+
+
+def test_simhash_index_incremental_equals_full(spark, tmp_path):
+    """SimHash family: two-batch ingest union equals the full-corpus
+    simhash_pairs recompute; hamming values carried; delta-only writes."""
+    from crawler_seo_spark.operators.dedup import simhash_pairs
+    from crawler_seo_spark.operators.incremental import SimHashIndex
+
+    def near_docs(spark, ids):
+        # docs 2i and 2i+1 share text except a one-word tweak -> small
+        # hamming; distinct groups are far apart
+        rows = [(i, f"group {i // 2} alpha beta gamma delta epsilon zeta "
+                    f"eta theta {'iota' if i % 2 else 'kappa'}")
+                for i in ids]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = SnapshotStore(str(tmp_path / "shidx"))
+    idx = SimHashIndex(store, hash_mode="xxhash64", max_hamming=6,
+                       band_bits=4)
+    p1 = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+          idx.ingest(spark, near_docs(spark, range(16))).collect()}
+    p2 = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+          idx.ingest(spark, near_docs(spark, range(16, 32))).collect()}
+    full = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            simhash_pairs(near_docs(spark, range(32)), max_hamming=6,
+                          band_bits=4, hash_mode="xxhash64").collect()}
+    assert p1 | p2 == full
+    assert p1 and p1.isdisjoint(p2)
+    assert all(h <= 6 for _, _, h in p1 | p2)
+    # delta-only: round 1 data dir holds only batch 2
+    assert spark.read.parquet(
+        store._table_dir("simhashes", 1)).count() == 16
