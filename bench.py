@@ -117,6 +117,25 @@ def main() -> None:
                                      F.col("a.text")).alias("text")))
     timed("d_paragraph_stats_full", lambda: force(paragraph_stats(para_docs)))
 
+    # incremental dedup: second-batch ingest against a persisted index of
+    # the first half (the steady-state ingest cost — only the new batch's
+    # signatures are computed; the index streams from parquet)
+    import tempfile
+
+    from crawler_seo_spark.operators.incremental import SignatureIndex
+    from crawler_seo_spark.tables import SnapshotStore
+
+    half = n_docs // 2
+
+    def incremental_ingest():
+        idx = SignatureIndex(
+            SnapshotStore(tempfile.mkdtemp(prefix="bench_sigidx_")),
+            k=32, bands=8, hash_mode="xxhash64")
+        idx.ingest(spark, docs.filter(f"doc_id < {half}"))
+        force(idx.ingest(spark, docs.filter(f"doc_id >= {half}")))
+
+    timed("d_incremental_ingest_full", incremental_ingest)
+
     # --- similarity search ----------------------------------------------------
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     from crawler_seo_spark.operators.similarity import (
