@@ -309,7 +309,12 @@ class CrawlEngine:
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1))
                      .alias("failed"))
-            .withColumn("fetched_round", F.lit(round_id)))
+            .withColumn("fetched_round", F.lit(round_id))
+            # pin: the fetch kernel feeds BOTH the anti-join build side
+            # and the union branch — without this the mapInPandas subtree
+            # executes twice and every todo host gets two robots.txt
+            # requests per refresh
+            .localCheckpoint(eager=True))
         self._robots_dynamic = (
             self._robots_dynamic
             .join(fetched.select("host"), "host", "left_anti")
@@ -451,7 +456,6 @@ class CrawlEngine:
             seen_count = n_seeds
             round_id = 0
         bloom_active = False
-        last_conflict: tuple | None = None  # cooperative rebase spin guard
 
         while frontier_count > 0 and results_count < cfg.max_urls:
             t0 = time.monotonic()
@@ -781,13 +785,15 @@ class CrawlEngine:
                     self.store.write("results", result, round_id)
                     self.store.commit_round(round_id, rounds[-1])
                 except ConcurrentCommitError:
-                    committed = (self.store.manifest() or {}).get("round")
-                    if (round_id, committed) == last_conflict:
-                        # the marker holder made no progress since our last
-                        # rebase — an orphaned marker from a crashed run,
-                        # not a live peer; rebasing again would spin
+                    # a LIVE peer publishes the manifest within ms of the
+                    # marker claim — wait for it rather than reading the
+                    # manifest inside that window (a round-0 race would
+                    # otherwise see manifest=None). Timeout ⇒ the marker
+                    # holder is dead: an orphaned marker from a crashed
+                    # run, not a peer — clean our staging and fail loudly.
+                    if self.store.await_round(round_id) is None:
+                        self.store.abort_round(round_id)
                         raise
-                    last_conflict = (round_id, committed)
                     self.rebase_count += 1
                     # rebase: drop this round's staged artifacts and every
                     # in-memory derivation of it, reload the winner's

@@ -320,6 +320,25 @@ def simhash64(text: Column, bits: int = 32,
     return _simhash(hashes)
 
 
+def hamming_banded_keys(df: DataFrame, id_col: str, hash_col: str,
+                        bits: int, band_bits: int) -> DataFrame:
+    """(id, hash, band, band_key): the integer fingerprint split into
+    ``bits/band_bits`` contiguous slices — the pigeonhole bucketing shared
+    by :func:`simhash_pairs`, :func:`hamming_near_dup_pairs`, and the
+    incremental :class:`~crawler_seo_spark.operators.incremental.SimHashIndex`
+    (one definition, so full-corpus and incremental pair sets can never
+    drift apart on band encoding)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return df.select(
+        id_col, hash_col,
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(hash_col), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band", "band_key"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32,
                   band_bits: int = 8, max_hamming: int = 3,
@@ -329,14 +348,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     any equal band, verify Hamming distance exactly via bit_count(xor)."""
     h = df.select(F.col(id_col),
                   simhash64(F.col(text_col), bits, hash_mode).alias("sh"))
-    n_bands = bits // band_bits
-    mask = (1 << band_bits) - 1
-    banded = h.select(
-        id_col, "sh",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ])).alias("band", "band_key"))
+    banded = hamming_banded_keys(h, id_col, "sh", bits, band_bits)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
                     & (F.col("l.band_key") == F.col("r.band_key"))
@@ -432,16 +444,11 @@ def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
     corpus size: the same bucketed design as MinHash-LSH (dedup for text)
     applied to the image axis. Requires ``max_hamming < bits/band_bits``.
     """
-    n_bands = bits // band_bits
-    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
-    mask = (1 << band_bits) - 1
-    banded = df.select(
-        F.col(id_col), F.col(hash_col).alias("_h"),
-        F.posexplode(F.array(*[
-            F.shiftright(F.col(hash_col), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ])).alias("band", "band_key"))
+    assert max_hamming < bits // band_bits, \
+        "pigeonhole needs max_hamming < n_bands"
+    banded = hamming_banded_keys(
+        df.select(F.col(id_col), F.col(hash_col).alias("_h")),
+        id_col, "_h", bits, band_bits)
     l, r = banded.alias("l"), banded.alias("r")
     return (l.join(r, (F.col("l.band") == F.col("r.band"))
                    & (F.col("l.band_key") == F.col("r.band_key"))

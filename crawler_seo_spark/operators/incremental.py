@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import ConcurrentCommitError, SnapshotStore
-from .dedup import banded_keys, minhash_signatures, simhash64
+from .dedup import (banded_keys, hamming_banded_keys, minhash_signatures,
+                    simhash64)
 
 
 class _IncrementalIndex:
@@ -74,7 +75,8 @@ class _IncrementalIndex:
         raise NotImplementedError
 
     def ingest(self, spark: SparkSession, new_docs: DataFrame,
-               round_id: int | None = None) -> DataFrame:
+               round_id: int | None = None,
+               extra_counters: dict | None = None) -> DataFrame:
         """Ingest a batch: returns candidate pairs of new-vs-(index ∪ new)
         and publishes the appended signature snapshot.
 
@@ -84,7 +86,9 @@ class _IncrementalIndex:
         are written. Re-ingesting an id is the caller's contract to avoid
         (upstream URL-seen filtering guarantees it in the crawl
         pipeline); duplicate ids would pair with their earlier selves,
-        surfacing — not corrupting — the violation.
+        surfacing — not corrupting — the violation. ``extra_counters``
+        rides the commit (e.g. the streaming ingest records its epoch for
+        replay idempotency).
 
         With a ``writer_id`` on the store, a writer that loses the commit
         race aborts its staged round and rebases (see module docstring);
@@ -96,7 +100,6 @@ class _IncrementalIndex:
                     .localCheckpoint(eager=True))
         n_new = int(obs.get["n"])
 
-        last_conflict: int | None = None
         while True:
             prev_round = self.committed_round()
             rid = round_id if round_id is not None else (
@@ -104,7 +107,8 @@ class _IncrementalIndex:
             pairs = self._derive_pairs(spark, new_sigs, prev_round)
             self.store.append(self.table, new_sigs, rid,
                               parent_round=prev_round)
-            counters = {"n_new": n_new, "n_total": n_new}
+            counters = {"n_new": n_new, "n_total": n_new,
+                        **(extra_counters or {})}
             if prev_round is not None:
                 counters["n_total"] += self.store.manifest()["counters"] \
                     .get("n_total", 0)
@@ -114,10 +118,29 @@ class _IncrementalIndex:
             except ConcurrentCommitError:
                 if self.store.writer_id is None or round_id is not None:
                     raise  # single-writer contract / caller pinned round
-                if self.committed_round() == last_conflict:
-                    raise  # marker holder made no progress: orphan, not peer
-                last_conflict = self.committed_round()
+                # a live peer publishes the manifest within ms of its
+                # marker claim — wait for it (a first-round race would
+                # otherwise read manifest=None and misdiagnose). Timeout
+                # ⇒ orphaned marker from a crashed run: clean and raise.
+                if self.store.await_round(rid) is None:
+                    self.store.abort_round(rid)
+                    raise
                 self.store.abort_round(rid)
+
+    def replay_pairs(self, spark: SparkSession,
+                     round_id: int) -> DataFrame:
+        """Re-derive the candidate pairs a COMMITTED ingest round
+        produced, without touching the index — the idempotent-replay path
+        (e.g. a restarted streaming epoch whose pairs write never
+        completed). The round's delta rows are its snapshot's data dirs
+        minus the parent snapshot's."""
+        dirs = set(self.store._snapshot_dirs(self.table, round_id))
+        if round_id > 0:
+            dirs -= set(self.store._snapshot_dirs(self.table,
+                                                  round_id - 1))
+        new_sigs = spark.read.parquet(*sorted(dirs))
+        return self._derive_pairs(
+            spark, new_sigs, round_id - 1 if round_id > 0 else None)
 
     def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
         return F.broadcast(df) if self.broadcast_new else df
@@ -217,15 +240,8 @@ class SimHashIndex(_IncrementalIndex):
                       self.hash_mode).alias("sh"))
 
     def _banded(self, h: DataFrame) -> DataFrame:
-        n_bands = self.bits // self.band_bits
-        mask = (1 << self.band_bits) - 1
-        return h.select(
-            self.id_col, "sh",
-            F.posexplode(F.array(*[
-                F.shiftright(F.col("sh"), b * self.band_bits)
-                .bitwiseAND(F.lit(mask))
-                for b in range(n_bands)
-            ])).alias("band", "band_key"))
+        return hamming_banded_keys(h, self.id_col, "sh",
+                                   self.bits, self.band_bits)
 
     def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
                       prev_round: int | None) -> DataFrame:

@@ -29,6 +29,8 @@ Shape (all bucketed, never all-pairs):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,7 +47,10 @@ def paragraph_occurrences(df: DataFrame, id_col: str = "doc_id",
     ordinality agree."""
     return (df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        # F.split takes a Java regex; the delimiter is a LITERAL string
+        # (reassembly joins with it verbatim), so escape it — an unescaped
+        # "|" or "." would split between every character
+        F.posexplode(F.split(F.col(text_col), re.escape(delimiter)))
         .alias("para_idx", "_raw"))
         .withColumn("para", F.trim(F.col("_raw")))
         .filter(F.length("para") > 0)

@@ -243,8 +243,7 @@ def ivf_assign_with(corpus: DataFrame, centroids: list[list[float]],
     return corpus.withColumn("ivf_list", assign(F.col(vec_col)))
 
 
-def ivf_write_partitioned(assigned: DataFrame, path: str,
-                          id_col: str = "vec_id") -> None:
+def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
     """Persist an IVF-assigned corpus partitioned by ``ivf_list`` — the
     storage layout that makes probe-routed search scan ``nprobe/n_lists``
     of the data: a search filtered to its probe lists becomes a parquet

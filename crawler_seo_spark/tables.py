@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,63 @@ class SnapshotStore:
         self.writer_id = writer_id
         self._staged: dict[int, set[str]] = {}  # round -> staged tables
         os.makedirs(root, exist_ok=True)
+        if writer_id is not None:
+            self._sweep_stale_staged()
+
+    def _sweep_stale_staged(self) -> None:
+        """A writer that crashed mid-round leaves staged file-lists (and
+        writer-scoped data dirs) on disk. Reopening with the SAME
+        writer_id must not resurrect them — ``_snapshot_dirs`` prefers a
+        staged list over a peer's committed snapshot, which would read
+        uncommitted data and bake it into future append lineage. On open:
+        delete this writer's staged file-lists, and any data dirs they
+        reference that no OTHER file-list (committed or another writer's
+        staged) references."""
+        suffix = f".{self.writer_id}.files.json"
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            names = os.listdir(tdir)
+            stale = [n for n in names if n.endswith(suffix)]
+            if not stale:
+                continue
+            doomed: set[str] = set()
+            for n in stale:
+                try:
+                    with open(os.path.join(tdir, n)) as f:
+                        doomed |= set(json.load(f))
+                except (OSError, ValueError):
+                    pass
+                os.remove(os.path.join(tdir, n))
+            referenced: set[str] = set()
+            for n in os.listdir(tdir):
+                if n.endswith(".files.json"):
+                    try:
+                        with open(os.path.join(tdir, n)) as f:
+                            referenced |= set(json.load(f))
+                    except (OSError, ValueError):
+                        pass
+            for d in doomed - referenced:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def await_round(self, round_id: int, timeout: float = 10.0,
+                    poll: float = 0.05) -> int | None:
+        """Wait for the manifest to reach ``round_id`` — a live peer that
+        claimed the round's marker publishes the manifest within
+        milliseconds, so a loser must not read the manifest in that
+        window and conclude nothing was committed. Returns the committed
+        round (>= round_id), or None if the deadline passes: the marker
+        holder is dead (an orphaned marker from a crashed run), not a
+        live peer."""
+        deadline = time.monotonic() + timeout
+        while True:
+            m = self.manifest()
+            if m is not None and m["round"] >= round_id:
+                return m["round"]
+            if time.monotonic() >= deadline:
+                return None
+            time.sleep(poll)
 
     # -- manifest -------------------------------------------------------------
     @property

@@ -112,3 +112,37 @@ def test_streaming_dedup_ingest_incremental(spark, tmp_path):
     full = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
         index._signatures(docs(range(40))), bands=4).collect()}
     assert got == full
+
+
+def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch must not append
+    its documents to the index again (each duplicate id would pair with
+    its own earlier copy); the latest epoch's pairs are re-derived from
+    the committed snapshot delta instead."""
+    from crawler_seo_spark.operators.incremental import SignatureIndex
+    from crawler_seo_spark.streaming.ingest import make_ingest_batch
+    from crawler_seo_spark.tables import SnapshotStore
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, f"shared text body {i // 2} for near duplicate pairs")
+             for i in ids], "doc_id long, text string")
+
+    index = SignatureIndex(SnapshotStore(str(tmp_path / "idx")),
+                           k=8, bands=4, hash_mode="xxhash64")
+    pairs_dir = str(tmp_path / "pairs")
+    fn = make_ingest_batch(index, pairs_dir)
+
+    fn(docs(range(10)), 0)
+    first = {(r["id_a"], r["id_b"]) for r in
+             spark.read.parquet(f"{pairs_dir}/epoch=0").collect()}
+    fn(docs(range(10)), 0)  # replayed epoch
+    assert index.committed_round() == 0        # no second append
+    assert index.signatures(spark).count() == 10
+    again = {(r["id_a"], r["id_b"]) for r in
+             spark.read.parquet(f"{pairs_dir}/epoch=0").collect()}
+    assert again == first                      # pairs rewritten identically
+
+    fn(docs(range(10, 20)), 1)                 # next epoch proceeds
+    assert index.committed_round() == 1
+    assert index.signatures(spark).count() == 20

@@ -559,3 +559,21 @@ def test_ivf_partitioned_search_prunes(spark, tmp_path):
            ivf_topk(assigned, cents, queries, k=3, nprobe=2).collect()}
     got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
     assert got == mem and len(got) == 6
+
+
+def test_paragraph_delimiter_is_literal(spark):
+    """The paragraph delimiter is a literal string, not a regex: '|' must
+    split only on '|' and survive the split/rejoin round trip."""
+    from crawler_seo_spark.operators.paragraph import (
+        drop_duplicate_paragraphs, paragraph_stats)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha|beta|alpha"), (1, "beta|gamma")],
+        "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in
+             paragraph_stats(docs, delimiter="|").collect()}
+    assert (stats[0]["n_paras"], stats[0]["n_dup_paras"]) == (3, 1)
+    assert (stats[1]["n_paras"], stats[1]["n_dup_paras"]) == (2, 1)
+    corpus = {r["doc_id"]: r["text"] for r in
+              drop_duplicate_paragraphs(docs, delimiter="|").collect()}
+    assert corpus == {0: "alpha|beta", 1: "gamma"}
