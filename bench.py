@@ -134,7 +134,8 @@ def main() -> None:
     for _ in range(K):
         idx = SignatureIndex(
             SnapshotStore(tempfile.mkdtemp(prefix="bench_sigidx_")),
-            k=32, bands=8, hash_mode="xxhash64")
+            k=32, bands=8, hash_mode="xxhash64",
+            shingle_mode="word", shingle_n=3)
         idx.ingest(spark, docs.filter(f"doc_id < {half}"))
         prebuilt.append(idx)
 

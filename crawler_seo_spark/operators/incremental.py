@@ -161,6 +161,11 @@ class SignatureIndex(_IncrementalIndex):
                  shingle_mode: str = "char", hash_mode: str = "md5",
                  impl: str = "arrow", seed: int = 42,
                  broadcast_new: bool = True) -> None:
+        # defaults are ORACLE-PARITY (char shingles, md5 — reproducible in
+        # DuckDB); production ingest wants shingle_mode="word", shingle_n=3,
+        # hash_mode="xxhash64": char-5 shingling pays interpreted-lambda
+        # substring+hash per character (~60x slower, measured) and
+        # over-collides on low-vocabulary corpora
         assert k % bands == 0, "k must divide into equal bands"
         super().__init__(store, table, id_col, text_col, broadcast_new)
         self.k = k
