@@ -281,3 +281,91 @@ class SimHashIndex(_IncrementalIndex):
             pairs = pairs.unionByName(cross)
         return (pairs.filter(F.col("hamming") <= self.max_hamming)
                 .distinct())
+
+
+class ParagraphIndex:
+    """Incremental PARAGRAPH-level exact dedup against a persisted
+    paragraph-hash index — the batch-ingest form of
+    :mod:`~crawler_seo_spark.operators.paragraph`: each arriving batch
+    keeps only paragraphs never seen before (in the index OR earlier in
+    the batch by ``(doc, para_idx)``), and appends its new first
+    occurrences as the next index snapshot (fast-append: O(new
+    paragraphs) IO).
+
+    Index rows: ``(para_hash, doc_id, para_idx)`` — the global first
+    occurrence of each surviving hash. Membership probing streams the
+    index against the BROADCAST batch (semi-join on the batch's distinct
+    hashes, then the small hit set broadcasts back onto the occurrences),
+    so the per-ingest cost is O(batch) plus one index scan.
+
+    Equivalence invariant (tested + the ``d_incremental_paragraph_corpus``
+    oracle): when batches arrive in ascending ``(doc_id)`` order, the
+    concatenation of per-batch dedup'd corpora equals the whole-corpus
+    :func:`~crawler_seo_spark.operators.paragraph.drop_duplicate_paragraphs`
+    ("first" is ingestion order, which then coincides with the global
+    ``(doc_id, para_idx)`` order)."""
+
+    def __init__(self, store: SnapshotStore, table: str = "paragraphs",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 delimiter: str | None = None) -> None:
+        from .paragraph import PARA_DELIM
+        self.store = store
+        self.table = table
+        self.id_col = id_col
+        self.text_col = text_col
+        self.delimiter = PARA_DELIM if delimiter is None else delimiter
+
+    def committed_round(self) -> int | None:
+        m = self.store.manifest()
+        return None if m is None else m["round"]
+
+    def index(self, spark: SparkSession) -> DataFrame | None:
+        r = self.committed_round()
+        return None if r is None else self.store.read(spark, self.table, r)
+
+    def ingest(self, spark: SparkSession, new_docs: DataFrame,
+               round_id: int | None = None) -> DataFrame:
+        """Ingest a batch; returns its paragraph-dedup'd corpus
+        (id, text) and publishes the appended hash-index snapshot.
+        Cooperative writers rebase on lost commit races (same contract as
+        the signature indexes)."""
+        from .paragraph import (corpus_from_marked,
+                                mark_duplicate_paragraphs,
+                                paragraph_occurrences)
+        occ = paragraph_occurrences(new_docs, self.id_col, self.text_col,
+                                    self.delimiter) \
+            .localCheckpoint(eager=True)
+        doc_ids = new_docs.select(self.id_col).localCheckpoint(eager=True)
+
+        while True:
+            prev_round = self.committed_round()
+            rid = round_id if round_id is not None else (
+                0 if prev_round is None else prev_round + 1)
+            marked = mark_duplicate_paragraphs(occ, self.id_col)
+            if prev_round is not None:
+                prev = self.store.read(spark, self.table, prev_round)
+                hits = prev.join(
+                    F.broadcast(occ.select("para_hash").distinct()),
+                    "para_hash", "leftsemi") \
+                    .select("para_hash").distinct()
+                marked = (marked.join(F.broadcast(hits.withColumn(
+                    "_in_index", F.lit(True))), "para_hash", "left")
+                    .withColumn("is_dup",
+                                F.col("is_dup")
+                                | F.col("_in_index").isNotNull())
+                    .drop("_in_index"))
+            new_firsts = (marked.filter(~F.col("is_dup"))
+                          .select("para_hash", self.id_col, "para_idx"))
+            self.store.append(self.table, new_firsts, rid,
+                              parent_round=prev_round)
+            try:
+                self.store.commit_round(rid, {"round": rid})
+                return corpus_from_marked(doc_ids, marked, self.id_col,
+                                          self.text_col, self.delimiter)
+            except ConcurrentCommitError:
+                if self.store.writer_id is None or round_id is not None:
+                    raise
+                if self.store.await_round(rid) is None:
+                    self.store.abort_round(rid)
+                    raise
+                self.store.abort_round(rid)

@@ -88,14 +88,15 @@ def paragraph_stats(df: DataFrame, id_col: str = "doc_id",
                                 / F.col("n_paras"), 6)))
 
 
-def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
-                              text_col: str = "text",
-                              delimiter: str = PARA_DELIM) -> DataFrame:
-    """(id, text) with every non-first paragraph occurrence removed and
-    the survivors rejoined by ``delimiter`` in original order. Every input
-    document appears (empty text when nothing survives)."""
-    marked = mark_duplicate_paragraphs(
-        paragraph_occurrences(df, id_col, text_col, delimiter), id_col)
+def corpus_from_marked(doc_ids: DataFrame, marked: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       delimiter: str = PARA_DELIM) -> DataFrame:
+    """Reassemble (id, text) from ``is_dup``-marked occurrences: keep
+    non-duplicates, rejoin in paragraph order; every id in ``doc_ids``
+    appears (empty text when nothing survives). Shared by the one-shot
+    (:func:`drop_duplicate_paragraphs`) and incremental
+    (:class:`~crawler_seo_spark.operators.incremental.ParagraphIndex`)
+    paths."""
     kept = (marked.filter(~F.col("is_dup"))
             .groupBy(id_col)
             .agg(F.array_join(
@@ -104,8 +105,19 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
                         F.struct("para_idx", "para"))),
                     lambda s: s["para"]),
                 delimiter).alias("_text")))
-    return (df.select(id_col)
+    return (doc_ids.select(id_col)
             .join(kept, id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("_text"), F.lit(""))
                     .alias(text_col)))
+
+
+def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              delimiter: str = PARA_DELIM) -> DataFrame:
+    """(id, text) with every non-first paragraph occurrence removed and
+    the survivors rejoined by ``delimiter`` in original order. Every input
+    document appears (empty text when nothing survives)."""
+    marked = mark_duplicate_paragraphs(
+        paragraph_occurrences(df, id_col, text_col, delimiter), id_col)
+    return corpus_from_marked(df, marked, id_col, text_col, delimiter)

@@ -1011,6 +1011,59 @@ def d_paragraph_stats(spark, sf_dir):
     return paragraph_stats(_para_base(spark, sf_dir))
 
 
+@q("d_incremental_paragraph_corpus", """
+WITH base AS (SELECT a.doc_id,
+    substr(a.text, 1, 80) || chr(10) || chr(10) || b.text
+      || chr(10) || chr(10) || a.text AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = CASE WHEN a.doc_id >= 60 THEN a.doc_id - 60
+                       ELSE a.doc_id - (a.doc_id % 4) END
+  WHERE a.doc_id < 120),
+lists AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+          FROM base),
+occ AS (SELECT doc_id, r AS para_idx, trim(l[r + 1]) AS para
+        FROM lists CROSS JOIN (SELECT unnest(range(3)) AS r) t
+        WHERE r < len(l) AND length(trim(l[r + 1])) > 0),
+marked AS (SELECT doc_id, para_idx, para,
+           (row_number() OVER (PARTITION BY para
+                               ORDER BY doc_id, para_idx) > 1) AS is_dup
+           FROM occ)
+SELECT b.doc_id,
+       coalesce(string_agg(m.para, chr(10) || chr(10)
+                           ORDER BY m.para_idx), '') AS text
+FROM base b LEFT JOIN (SELECT * FROM marked WHERE NOT is_dup) m
+  USING (doc_id)
+GROUP BY b.doc_id
+""")
+def d_incremental_paragraph_corpus(spark, sf_dir):
+    """INCREMENTAL paragraph dedup: two batches (docs 0-59, 60-119)
+    ingested against the persisted paragraph-hash index. Batch-2 docs
+    take doc (id-60)'s full text as their middle paragraph — a guaranteed
+    CROSS-batch repeat the index must catch; batch-1 keeps the 4-doc
+    group construction. Batches arrive in doc_id order, so the per-batch
+    corpus union equals the whole-corpus dedup — which the oracle states
+    directly."""
+    import tempfile
+
+    from ..operators.incremental import ParagraphIndex
+    from ..tables import SnapshotStore
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 120")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    base_key = F.when(F.col("a.doc_id") >= 60, F.col("a.doc_id") - 60) \
+        .otherwise(F.col("a.doc_id") - (F.col("a.doc_id") % 4))
+    base = (a.join(b, F.col("b.doc_id") == base_key)
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.concat_ws("\n\n",
+                                F.substring(F.col("a.text"), 1, 80),
+                                F.col("b.text"),
+                                F.col("a.text")).alias("text")))
+    idx = ParagraphIndex(
+        SnapshotStore(tempfile.mkdtemp(prefix="paraidx_dq_")))
+    c1 = idx.ingest(spark, base.filter("doc_id < 60"))
+    c2 = idx.ingest(spark, base.filter("doc_id >= 60"))
+    return c1.unionByName(c2)
+
+
 @q("d_paragraph_dedup_corpus", f"""
 WITH {_PARA_BASE_SQL}
 SELECT b.doc_id,

@@ -152,3 +152,42 @@ def test_simhash_index_incremental_equals_full(spark, tmp_path):
     # delta-only: round 1 data dir holds only batch 2
     assert spark.read.parquet(
         store._table_dir("simhashes", 1)).count() == 16
+
+
+def test_paragraph_index_incremental_equals_full(spark, tmp_path):
+    """Batch-ingested paragraph dedup == whole-corpus
+    drop_duplicate_paragraphs when batches arrive in doc_id order; the
+    index appends only each batch's new first occurrences."""
+    from crawler_seo_spark.operators.incremental import ParagraphIndex
+    from crawler_seo_spark.operators.paragraph import (
+        drop_duplicate_paragraphs)
+
+    def para_docs(ids):
+        # para2 shared within the 4-doc group; batch-2 docs (>= 20) reuse
+        # doc (i-20)'s own text as para2 -> guaranteed CROSS-batch dups
+        rows = []
+        for i in ids:
+            own = f"unique body of document {i} with words"
+            shared = (f"unique body of document {i - 20} with words"
+                      if i >= 20 else f"shared block {i // 4}")
+            rows.append((i, f"intro {i}\n\n{shared}\n\n{own}"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = SnapshotStore(str(tmp_path / "pidx"))
+    idx = ParagraphIndex(store)
+    c1 = {r["doc_id"]: r["text"]
+          for r in idx.ingest(spark, para_docs(range(20))).collect()}
+    c2 = {r["doc_id"]: r["text"]
+          for r in idx.ingest(spark, para_docs(range(20, 40))).collect()}
+    full = {r["doc_id"]: r["text"] for r in
+            drop_duplicate_paragraphs(para_docs(range(40))).collect()}
+    assert {**c1, **c2} == full
+    # cross-batch dedup actually fired: batch-2 doc 20's "shared" para is
+    # doc 0's own text, already indexed
+    assert "unique body of document 0" not in c2[20].split("\n\n")[1:]
+    # delta-only: round-1 dir holds only batch 2's new firsts
+    delta = spark.read.parquet(store._table_dir("paragraphs", 1))
+    assert delta.count() > 0
+    assert delta.agg(F.min("doc_id")).collect()[0][0] >= 20
+    assert idx.index(spark).count() == delta.count() + \
+        spark.read.parquet(store._table_dir("paragraphs", 0)).count()

@@ -343,3 +343,59 @@ def test_rfc9309_wildcard_patterns(spark):
             for r in filter_allowed(cand, robots).collect()}
     assert kept == {"/docs/a.pdf", "/docs/a.pdfx", "/temp", "/exact",
                     "/free"}
+
+
+def test_rfc9309_matcher_differential_fuzz(spark):
+    """Differential fuzz of the Catalyst rules evaluation (startswith fast
+    path, regexp_like wildcards, struct-max precedence) against an
+    INDEPENDENT Python reference built on fnmatch: 40 random rule-sets
+    (one per host, so ONE Spark job covers all) x 10 random paths each."""
+    import fnmatch
+    import random
+
+    from crawler_seo_spark.operators.robots import (
+        filter_allowed, robots_rules_table)
+
+    def matches(path, pat):
+        # robots prefix semantics via fnmatch full-match: P matches a
+        # PREFIX of path <=> P+"*" full-matches path; $-anchored P
+        # full-matches exactly (alphabet excludes fnmatch's ? and [)
+        if pat.endswith("$"):
+            return fnmatch.fnmatchcase(path, pat[:-1])
+        return fnmatch.fnmatchcase(path, pat + "*")
+
+    def py_allowed(path, rules):
+        best = None
+        for allow, pat in rules:
+            if matches(path, pat):
+                k = (len(pat), 1 if allow else 0)
+                best = k if best is None else max(best, k)
+        return best is None or best[1] == 1
+
+    rnd = random.Random(7)
+    alphabet = "ab/."
+    hosts, urls, want_kept = {}, set(), set()
+    for h in range(40):
+        host = f"h{h}.test"
+        rules = []
+        for _ in range(rnd.randint(1, 5)):
+            pat = "/" + "".join(rnd.choice(alphabet + "*")
+                                for _ in range(rnd.randint(1, 6)))
+            if rnd.random() < 0.3:
+                pat += "$"
+            rules.append((rnd.random() < 0.5, pat))
+        hosts[host] = rules
+        for _ in range(10):
+            path = "/" + "".join(rnd.choice(alphabet)
+                                 for _ in range(rnd.randint(0, 6)))
+            url = f"https://{host}{path}"
+            urls.add(url)
+            if py_allowed(path, rules):
+                want_kept.add(url)
+            else:
+                want_kept.discard(url)  # dup url: same verdict either way
+
+    robots = robots_rules_table(spark, hosts)
+    cand = spark.createDataFrame([(u,) for u in sorted(urls)], "url string")
+    got = {r["url"] for r in filter_allowed(cand, robots).collect()}
+    assert got == want_kept, (sorted(got ^ want_kept)[:10], len(urls))
