@@ -369,3 +369,65 @@ class ParagraphIndex:
                     self.store.abort_round(rid)
                     raise
                 self.store.abort_round(rid)
+
+
+class EmbeddingIndex(_IncrementalIndex):
+    """Persisted embedding index for incremental cosine near-dup — the
+    third dedup family (text MinHash, SimHash, now embeddings). Index
+    rows are ``(id, embedding, bucket)`` with the bucket a seeded
+    random-hyperplane signature (the
+    :mod:`~crawler_seo_spark.operators.similarity` broadcast-matrix UDF —
+    planes are fixed at index construction, so every batch buckets
+    identically). Candidates are bucket-equal pairs, verified exactly
+    with the JVM cosine (rounded to 6 dp) against ``threshold`` — recall
+    follows the bucketing (same-bucket ⇒ compared), and the incremental
+    pair union equals the full-corpus blocked recompute
+    (``embedding_near_duplicates(block_col="bucket")``) exactly."""
+
+    def __init__(self, store: SnapshotStore, dim: int,
+                 table: str = "embeddings_idx", id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_planes: int = 6,
+                 seed: int = 42, threshold: float = 0.95,
+                 broadcast_new: bool = True) -> None:
+        super().__init__(store, table, id_col, vec_col, broadcast_new)
+        from .similarity import hyperplanes
+        self.vec_col = vec_col
+        self.n_planes = n_planes
+        self.threshold = threshold
+        self.planes = hyperplanes(dim, n_planes, seed)
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        from .similarity import _bucket_udf
+        bucket = _bucket_udf(docs.sparkSession.sparkContext, self.planes)
+        return docs.select(F.col(self.id_col), F.col(self.vec_col),
+                           bucket(F.col(self.vec_col)).alias("bucket"))
+
+    def _pairs_between(self, left: DataFrame, right: DataFrame,
+                       strict_less: bool) -> DataFrame:
+        from .similarity import cosine_col
+        idc = self.id_col
+        cond = (F.col(f"l.{idc}") < F.col(f"r.{idc}") if strict_less
+                else F.col(f"l.{idc}") != F.col(f"r.{idc}"))
+        return (left.alias("l")
+                .join(right.alias("r"),
+                      (F.col("l.bucket") == F.col("r.bucket")) & cond)
+                .select(F.least(F.col(f"l.{idc}"),
+                                F.col(f"r.{idc}")).alias("id_a"),
+                        F.greatest(F.col(f"l.{idc}"),
+                                   F.col(f"r.{idc}")).alias("id_b"),
+                        cosine_col(F.col(f"l.{self.vec_col}"),
+                                   F.col(f"r.{self.vec_col}"))
+                        .alias("cosine"))
+                .filter(F.col("cosine") >= self.threshold))
+
+    def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
+                      prev_round: int | None) -> DataFrame:
+        pairs = self._pairs_between(new_sigs,
+                                    self._maybe_broadcast(new_sigs),
+                                    strict_less=True)
+        if prev_round is not None:
+            index = self.store.read(spark, self.table, prev_round)
+            pairs = pairs.unionByName(self._pairs_between(
+                index, self._maybe_broadcast(new_sigs),
+                strict_less=False))
+        return pairs.distinct()

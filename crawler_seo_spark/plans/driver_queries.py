@@ -903,6 +903,51 @@ def d_incremental_lsh_pairs(spark, sf_dir):
     return p1.unionByName(p2)
 
 
+def _emb_inc_sql(dim: int, n_planes: int, threshold: float) -> str:
+    """Full-corpus hyperplane-bucket-blocked cosine pairs in DuckDB — the
+    oracle for the incremental embedding ingest. The seeded plane matrix
+    is embedded as literals (the same constants the broadcast UDF uses);
+    bucket bit i = sign(v · plane_i), plane 0 the MSB."""
+    from ..operators.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes, 42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, [{', '.join(repr(x) for x in p)}])"
+        f" >= 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+           FROM embeddings),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_dot_product(l.ev, r.ev)
+               / (sqrt(list_dot_product(l.ev, l.ev))
+                  * sqrt(list_dot_product(r.ev, r.ev))), 6) AS cosine
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+@q("d_incremental_embedding_pairs", _emb_inc_sql(64, 6, 0.2))
+def d_incremental_embedding_pairs(spark, sf_dir):
+    """INCREMENTAL embedding cosine near-dup (third dedup family): two
+    batches ingested against the persisted (id, embedding, bucket) index
+    — hyperplane buckets fixed at index construction, exact rounded
+    cosine ≥ 0.2 inside buckets, union of per-round pairs == the
+    full-corpus bucket-blocked recompute the oracle states."""
+    import tempfile
+
+    from ..operators.incremental import EmbeddingIndex
+    from ..tables import SnapshotStore
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = EmbeddingIndex(
+        SnapshotStore(tempfile.mkdtemp(prefix="eidx_dq_")),
+        dim=64, n_planes=6, threshold=0.2)
+    p1 = idx.ingest(spark, emb.filter("vec_id < 250"))
+    p2 = idx.ingest(spark, emb.filter("vec_id >= 250"))
+    return p1.unionByName(p2)
+
+
 @q("d_incremental_simhash_pairs", r"""
 WITH base AS (SELECT a.doc_id,
     CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text

@@ -191,3 +191,38 @@ def test_paragraph_index_incremental_equals_full(spark, tmp_path):
     assert delta.agg(F.min("doc_id")).collect()[0][0] >= 20
     assert idx.index(spark).count() == delta.count() + \
         spark.read.parquet(store._table_dir("paragraphs", 0)).count()
+
+
+def test_embedding_index_incremental_equals_blocked_full(spark, tmp_path):
+    """Embedding family: two-batch ingest union equals the full-corpus
+    bucket-blocked recompute (same hyperplane buckets), pairs carry the
+    rounded cosine, and the index appends only the batch."""
+    import numpy as np
+
+    from crawler_seo_spark.operators.dedup import embedding_near_duplicates
+    from crawler_seo_spark.operators.incremental import EmbeddingIndex
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16))
+    base[1] = base[0] + 0.02 * rng.standard_normal(16)   # near-dup in b1
+    base[41] = base[40] + 0.02 * rng.standard_normal(16)  # near-dup in b2
+    base[45] = base[5] + 0.02 * rng.standard_normal(16)   # CROSS-batch pair
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    store = SnapshotStore(str(tmp_path / "eidx"))
+    idx = EmbeddingIndex(store, dim=16, n_planes=4, threshold=0.9)
+    p1 = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+          idx.ingest(spark, vecs.filter("vec_id < 30")).collect()}
+    p2 = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+          idx.ingest(spark, vecs.filter("vec_id >= 30")).collect()}
+
+    sigs = idx._signatures(vecs)
+    full = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            embedding_near_duplicates(sigs, threshold=0.9,
+                                      block_col="bucket").collect()}
+    assert p1 | p2 == full
+    assert p1 and p2 and p1.isdisjoint(p2)
+    assert any(a == 5 and b == 45 for a, b, _ in p2)  # cross-batch caught
+    assert spark.read.parquet(
+        store._table_dir("embeddings_idx", 1)).count() == 30
