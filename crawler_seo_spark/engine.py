@@ -113,6 +113,7 @@ class CrawlEngine:
         self.robots = (robots_table(spark, robots_rules)
                        if robots_rules else None)
         self._robots_dynamic: DataFrame | None = None  # LIVE robots cache
+        self._robots_delay_count = 0  # hosts with a Crawl-delay directive
         self.store = (SnapshotStore(config.checkpoint_dir,
                                     writer_id=config.writer_id)
                       if config.checkpoint_dir else None)
@@ -259,7 +260,8 @@ class CrawlEngine:
             self._robots_dynamic = self.spark.createDataFrame(
                 [], "host string, "
                     "rules array<struct<allow:boolean,prefix:string,rx:string>>, "
-                    "fetched_round int, fetch_ok boolean")
+                    "crawl_delay double, fetched_round int, "
+                    "fetch_ok boolean")
         # carry the candidates' own scheme: an http-only origin serves its
         # robots at http://, never https:// (max() prefers https when a
         # host appears under both — robots are scheme-agnostic per host
@@ -282,6 +284,7 @@ class CrawlEngine:
             import pandas as pd
 
             from crawler_seo_spark.operators.robots import (
+                parse_crawl_delay,
                 parse_robots_rules,
                 rule_structs,
             )
@@ -297,18 +300,22 @@ class CrawlEngine:
                         ok, body = False, ""
                     rows.append({"host": host, "fetch_ok": ok,
                                  "rules": rule_structs(
-                                     parse_robots_rules(body or "", ua))})
-                yield pd.DataFrame(rows,
-                                   columns=["host", "rules", "fetch_ok"])
+                                     parse_robots_rules(body or "", ua)),
+                                 "crawl_delay":
+                                     parse_crawl_delay(body or "", ua)})
+                yield pd.DataFrame(rows, columns=[
+                    "host", "rules", "crawl_delay", "fetch_ok"])
 
         obs = Observation()
         fetched = (todo.mapInPandas(
             kernel, "host string, "
                     "rules array<struct<allow:boolean,prefix:string,rx:string>>, "
-                    "fetch_ok boolean")
+                    "crawl_delay double, fetch_ok boolean")
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1))
-                     .alias("failed"))
+                     .alias("failed"),
+                     F.sum(F.when(F.col("crawl_delay").isNotNull(), 1)
+                           .otherwise(0)).alias("n_delay"))
             .withColumn("fetched_round", F.lit(round_id))
             # pin: the fetch kernel feeds BOTH the anti-join build side
             # and the union branch — without this the mapInPandas subtree
@@ -322,6 +329,7 @@ class CrawlEngine:
             .localCheckpoint(eager=True))
         # fail-open (non-200/error robots → allow-all) must be observable,
         # not silent: the counters ride the checkpoint materialization
+        self._robots_delay_count += int(obs.get["n_delay"] or 0)
         failed = obs.get["failed"] or 0
         if failed:
             logging.getLogger(__name__).warning(
@@ -514,13 +522,24 @@ class CrawlEngine:
             # replay mode) every offset is ~0: skip the per-host rank window
             # and project constant slots. Identical crawl semantics — the
             # schedule only TIMES fetches, never orders results.
-            if cfg.requests_per_second >= 1e8:
+            host_delays = None
+            if self._robots_dynamic is not None and self._robots_delay_count:
+                # robots Crawl-delay overrides: a host's interval becomes
+                # max(1/rps, crawl_delay) — forces the real schedule even
+                # in unlimited-rps replay mode
+                host_delays = (self._robots_dynamic
+                               .filter(F.col("crawl_delay").isNotNull())
+                               .select("host",
+                                       F.col("crawl_delay")
+                                       .alias("crawl_delay_s")))
+            if cfg.requests_per_second >= 1e8 and host_delays is None:
                 from .operators.politeness import with_host
                 batch = (with_host(batch)
                          .withColumn("fetch_slot", F.lit(0).cast("long"))
                          .withColumn("scheduled_offset_ms", F.lit(0.0)))
             else:
-                batch = schedule_fetches(batch, cfg.requests_per_second)
+                batch = schedule_fetches(batch, cfg.requests_per_second,
+                                         host_delays=host_delays)
 
             # --- J4: salted host repartition — one hot host's fetches spread
             # over salt buckets (each row keeps its politeness slot, so the

@@ -34,11 +34,18 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def schedule_fetches(batch: DataFrame, requests_per_second: float,
-                     url_col: str = "url") -> DataFrame:
+                     url_col: str = "url",
+                     host_delays: DataFrame | None = None) -> DataFrame:
     """Assign per-host politeness slots to a dequeued batch.
 
     Slot order within a host follows the batch's dequeue order
     (``crawl_seq``), so the schedule is deterministic.
+
+    ``host_delays`` — optional ``(host, crawl_delay_s)`` table (robots.txt
+    ``Crawl-delay``, the de-facto per-host rate directive major crawlers
+    honor): a host's interval becomes ``max(1/rps, crawl_delay_s)`` —
+    Crawl-delay can only slow a host down, never beat the global budget.
+    Broadcast-joined (hosts are always the small side).
 
     Pure window computation (JVM): ``row_number() OVER (PARTITION BY host
     ORDER BY crawl_seq)``. An earlier ``applyInPandas`` formulation computed
@@ -50,12 +57,21 @@ def schedule_fetches(batch: DataFrame, requests_per_second: float,
     from pyspark.sql import Window
     interval_ms = 1000.0 / max(requests_per_second, 1e-9)
     df = with_host(batch, url_col)
+    interval = F.lit(interval_ms)
+    if host_delays is not None:
+        df = df.join(F.broadcast(host_delays.select(
+            "host", F.col("crawl_delay_s").cast("double")
+            .alias("_cds"))), "host", "left")
+        interval = F.greatest(interval,
+                              F.coalesce(F.col("_cds") * 1000.0,
+                                         F.lit(0.0)))
     w = Window.partitionBy("host").orderBy("crawl_seq")
-    return (df
-            .withColumn("fetch_slot",
-                        (F.row_number().over(w) - 1).cast("long"))
-            .withColumn("scheduled_offset_ms",
-                        F.col("fetch_slot") * F.lit(interval_ms)))
+    out = (df
+           .withColumn("fetch_slot",
+                       (F.row_number().over(w) - 1).cast("long"))
+           .withColumn("scheduled_offset_ms",
+                       F.col("fetch_slot") * interval))
+    return out.drop("_cds") if host_delays is not None else out
 
 
 def salted_repartition(df: DataFrame, salt_buckets: int,

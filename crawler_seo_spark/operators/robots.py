@@ -105,19 +105,21 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame | None,
     return joined.filter(~blocked).drop("_host", "host", "disallow_prefixes")
 
 
-def parse_robots_rules(content: str,
-                       user_agent: str = "*") -> list[tuple[bool, str]]:
-    """Extract the ``(allow, prefix)`` rule list for a user agent from
-    robots.txt content (RFC 9309 group selection: the most specific
-    matching agent group wins, falling back to ``*``).
+def _parse_groups(content: str) -> dict[str, dict]:
+    """agent → {"rules": [(allow, pattern)], "crawl_delay": float|None}.
 
     Empty-value ``Disallow:`` / ``Allow:`` lines match nothing and are
     dropped — the RFC's "empty Disallow means the group disallows
     nothing" quirk. Rule order is preserved (precedence is by prefix
-    length at match time, not file order)."""
-    groups: dict[str, list[tuple[bool, str]]] = {}
+    length at match time, not file order). ``Crawl-delay`` is the
+    de-facto extension major crawlers honor (not in RFC 9309 proper)."""
+    groups: dict[str, dict] = {}
     current_agents: list[str] = []
     last_was_agent = False
+
+    def grp(a):
+        return groups.setdefault(a, {"rules": [], "crawl_delay": None})
+
     for raw in (content or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -130,22 +132,46 @@ def parse_robots_rules(content: str,
                 current_agents = []
             current_agents.append(value.lower())
             for a in current_agents:
-                groups.setdefault(a, [])
+                grp(a)
             last_was_agent = True
         elif key in ("disallow", "allow"):
             last_was_agent = False
             if value:
                 for a in current_agents:
-                    groups.setdefault(a, []).append((key == "allow", value))
+                    grp(a)["rules"].append((key == "allow", value))
+        elif key == "crawl-delay":
+            last_was_agent = False
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for a in current_agents:
+                grp(a)["crawl_delay"] = delay
         else:
             last_was_agent = False
+    return groups
 
+
+def _select_group(groups: dict[str, dict], user_agent: str) -> dict:
     ua = user_agent.lower()
     # longest-match agent token, then '*'
     candidates = [a for a in groups if a != "*" and a in ua]
     if candidates:
         return groups[max(candidates, key=len)]
-    return groups.get("*", [])
+    return groups.get("*", {"rules": [], "crawl_delay": None})
+
+
+def parse_robots_rules(content: str,
+                       user_agent: str = "*") -> list[tuple[bool, str]]:
+    """The ``(allow, pattern)`` rule list for a user agent (RFC 9309
+    group selection: most specific matching agent group, then ``*``)."""
+    return _select_group(_parse_groups(content), user_agent)["rules"]
+
+
+def parse_crawl_delay(content: str,
+                      user_agent: str = "*") -> float | None:
+    """The selected group's ``Crawl-delay`` seconds, or None."""
+    return _select_group(_parse_groups(content), user_agent)["crawl_delay"]
 
 
 def parse_robots_txt(content: str, user_agent: str = "*") -> list[str]:

@@ -399,3 +399,69 @@ def test_rfc9309_matcher_differential_fuzz(spark):
     cand = spark.createDataFrame([(u,) for u in sorted(urls)], "url string")
     got = {r["url"] for r in filter_allowed(cand, robots).collect()}
     assert got == want_kept, (sorted(got ^ want_kept)[:10], len(urls))
+
+
+def test_crawl_delay_parsing_and_schedule(spark, batch):
+    """robots Crawl-delay: parsed per agent group, and schedule_fetches
+    stretches ONLY the delayed host's interval to max(1/rps, delay)."""
+    from crawler_seo_spark.operators.robots import parse_crawl_delay
+
+    txt = ("User-agent: *\nCrawl-delay: 2.5\n\n"
+           "User-agent: fastbot\nCrawl-delay: 0.1\n\n"
+           "User-agent: junk\nCrawl-delay: soon\n")
+    assert parse_crawl_delay(txt) == 2.5
+    assert parse_crawl_delay(txt, "FastBot/1.0") == 0.1
+    assert parse_crawl_delay(txt, "junk") is None  # bad value ignored
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+
+    delays = spark.createDataFrame([("host0.test", 10.0)],
+                                   "host string, crawl_delay_s double")
+    out = schedule_fetches(batch, requests_per_second=5.0,
+                           host_delays=delays).collect()
+    for r in out:
+        want = 10_000.0 if r["host"] == "host0.test" else 200.0
+        assert r["scheduled_offset_ms"] == pytest.approx(
+            r["fetch_slot"] * want), r
+
+
+def test_live_crawl_honors_crawl_delay(spark):
+    """Engine e2e: a live-fetched robots.txt with Crawl-delay switches
+    later rounds from the unlimited-rps fast path to the delayed
+    schedule — per-host offsets stretch by the delay; the crawl itself
+    (order, budget) is unchanged."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL, live_fetch_factory)
+
+    body = "User-agent: *\nCrawl-delay: 0.002\n"
+
+    def factory():
+        inner = live_fetch_factory(150)()
+
+        def fetch(url):
+            if url.endswith("/robots.txt"):
+                return {"status_code": 200, "content_type": "text/plain",
+                        "final_url": url, "response_time_ms": 1.0,
+                        "content_length": len(body), "html": body,
+                        "headers": {}}
+            return inner(url)
+        return fetch
+
+    cfg = CrawlConfig(seed_url=SEED_URL, max_urls=45, batch_size=15,
+                      requests_per_second=1e9, fetch_robots=True)
+    eng = CrawlEngine(spark, None, cfg, fetch_fn_factory=factory)
+    st = eng.run()
+    assert eng._robots_delay_count >= 1
+    rows = st.results.select("round", "fetch_slot",
+                             "scheduled_offset_ms").collect()
+    # round 0: robots not yet fetched -> fast path, offsets 0
+    assert all(r["scheduled_offset_ms"] == 0.0
+               for r in rows if r["round"] == 0)
+    # later rounds: slot k is offset k * 2ms on the (single) host
+    later = [r for r in rows if r["round"] > 0]
+    assert later and any(r["fetch_slot"] > 0 for r in later)
+    for r in later:
+        assert r["scheduled_offset_ms"] == pytest.approx(
+            r["fetch_slot"] * 2.0), r
+    assert st.crawl_order.count() == 45
