@@ -465,3 +465,52 @@ def test_live_crawl_honors_crawl_delay(spark):
         assert r["scheduled_offset_ms"] == pytest.approx(
             r["fetch_slot"] * 2.0), r
     assert st.crawl_order.count() == 45
+
+
+def test_sitemap_seed_discovery(spark):
+    """Sitemap ingestion: robots Sitemap: directives -> index sitemap ->
+    child sitemaps -> page urls, fetched on the executors; malformed XML
+    and non-200 children degrade to empty, namespace-less docs parse."""
+    from crawler_seo_spark.sources.sitemaps import (
+        fetch_sitemap_urls, parse_sitemap, sitemap_urls_from_robots)
+
+    robots = ("User-agent: *\nDisallow: /x\n"
+              "Sitemap: https://s.test/sitemap.xml\n")
+    assert sitemap_urls_from_robots(robots) == ["https://s.test/sitemap.xml"]
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    served = {
+        "https://s.test/sitemap.xml":
+            f'<sitemapindex {ns}>'
+            '<sitemap><loc>https://s.test/sm-a.xml</loc></sitemap>'
+            '<sitemap><loc>https://s.test/sm-b.xml</loc></sitemap>'
+            '<sitemap><loc>https://s.test/sm-404.xml</loc></sitemap>'
+            '</sitemapindex>',
+        "https://s.test/sm-a.xml":
+            f'<urlset {ns}>'
+            '<url><loc>https://s.test/p1</loc></url>'
+            '<url><loc>https://s.test/p2</loc></url></urlset>',
+        "https://s.test/sm-b.xml":  # namespace-less, one dup with sm-a
+            '<urlset><url><loc>https://s.test/p2</loc></url>'
+            '<url><loc>https://s.test/p3</loc></url></urlset>',
+    }
+    assert parse_sitemap("<not-xml") == ([], [])
+
+    def factory():
+        def fetch(url):
+            body = served.get(url)
+            return {"status_code": 200 if body else 404,
+                    "content_type": "application/xml", "final_url": url,
+                    "response_time_ms": 1.0,
+                    "content_length": len(body or ""),
+                    "html": body or "", "headers": {}}
+        return fetch
+
+    locs = spark.createDataFrame(
+        [(u,) for u in sitemap_urls_from_robots(robots)],
+        "sitemap_url string")
+    seeds = fetch_sitemap_urls(locs, factory)
+    got = {(r["seed_url"], r["sitemap_url"]) for r in seeds.collect()}
+    assert {u for u, _ in got} == {"https://s.test/p1", "https://s.test/p2",
+                                   "https://s.test/p3"}
+    assert ("https://s.test/p1", "https://s.test/sm-a.xml") in got
