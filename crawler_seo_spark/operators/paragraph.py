@@ -121,3 +121,57 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
     marked = mark_duplicate_paragraphs(
         paragraph_occurrences(df, id_col, text_col, delimiter), id_col)
     return corpus_from_marked(df, marked, id_col, text_col, delimiter)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (n-gram span) repetition — finer than paragraphs
+# ---------------------------------------------------------------------------
+
+def span_occurrences(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", width: int = 40,
+                     stride: int = 1) -> DataFrame:
+    """(id, pos, span_hash) — md5 of each ``width``-char window of the
+    NORMALIZED text at ``stride`` spacing.
+
+    ``stride=1`` (default) is EXACT: any repeated run ≥ ``width`` chars
+    shares a full window wherever it sits — the hash-window form of
+    suffix-array substring dedup, at one row per character (len/1 rows;
+    the price of exactness). ``stride>1`` samples ALIGNED windows — cost
+    drops to len/stride rows, but only repeats whose offsets agree mod
+    stride are found (identical whole texts, templated fixed layouts);
+    alignment-robust sampling needs content-defined anchors (winnowing),
+    not strides. All JVM: sequence → substring → md5; md5 for
+    cross-engine oracle parity. The tail window may be shorter than
+    ``width`` (substring truncates) — deterministic on both engines."""
+    from .dedup import normalized_text_col
+    norm = normalized_text_col(F.col(text_col))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (width - 1), F.lit(1)),
+        F.lit(stride))
+    return (df.select(
+        F.col(id_col), norm.alias("_t"),
+        F.explode(positions).alias("pos"))
+        .select(id_col, "pos",
+                F.md5(F.substring(F.col("_t"), F.col("pos"), width))
+                .alias("span_hash")))
+
+
+def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", width: int = 40,
+                        stride: int = 1) -> DataFrame:
+    """Per-document substring-repetition stats: ``n_spans`` windows,
+    ``n_repeated`` whose hash occurs ≥2 times ANYWHERE in the corpus
+    (other docs or elsewhere in the same doc), and their ratio — the
+    span-level containment signal a training pipeline thresholds on
+    before the expensive exact-extent pass. One shuffle on the 16-byte
+    hash (map-side combined count), one broadcast-back of the repeated
+    hash set sized by the repeat vocabulary, one per-doc aggregation."""
+    occ = span_occurrences(df, id_col, text_col, width, stride)
+    counts = occ.groupBy("span_hash").agg(F.count(F.lit(1)).alias("_n"))
+    return (occ.join(counts, "span_hash")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+                 .alias("n_repeated"))
+            .withColumn("repeat_ratio",
+                        F.round(F.col("n_repeated") / F.col("n_spans"), 6)))

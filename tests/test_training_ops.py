@@ -577,3 +577,27 @@ def test_paragraph_delimiter_is_literal(spark):
     corpus = {r["doc_id"]: r["text"] for r in
               drop_duplicate_paragraphs(docs, delimiter="|").collect()}
     assert corpus == {0: "alpha|beta", 1: "gamma"}
+
+
+def test_repeated_span_stats(spark):
+    """Substring-level repetition, dense (stride=1, exact): a shared
+    >=40-char run between two docs repeats full windows in both wherever
+    it sits; unique text repeats nothing; an exact copy repeats all."""
+    from crawler_seo_spark.operators.paragraph import repeated_span_stats
+
+    shared = "the common boilerplate license block text that repeats " \
+             "across documents verbatim here"
+    docs = spark.createDataFrame(
+        [(0, f"{shared} plus some trailing original content zero"),
+         (1, f"totally different opening words then {shared}"),
+         (2, "entirely unique content with no repeats in it at all xyz"),
+         (3, "entirely unique content with no repeats in it at all xyz")],
+        "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in
+             repeated_span_stats(docs, width=40).collect()}
+    assert stats[0]["n_repeated"] >= 1
+    assert stats[1]["n_repeated"] >= 1
+    # docs 2 and 3 are exact copies: every window repeated
+    assert stats[2]["repeat_ratio"] == 1.0
+    assert stats[3]["repeat_ratio"] == 1.0
+    assert stats[0]["repeat_ratio"] < 1.0  # has unique tail windows
