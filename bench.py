@@ -117,6 +117,10 @@ def main() -> None:
                                      F.col("a.text")).alias("text")))
     timed("d_paragraph_stats_full", lambda: force(paragraph_stats(para_docs)))
 
+    from crawler_seo_spark.operators.paragraph import repeated_span_stats
+    timed("d_repeated_spans_mod8_full",
+          lambda: force(repeated_span_stats(docs, width=40, sample_mod=8)))
+
     # incremental dedup: second-batch ingest against a persisted index of
     # the first half (the steady-state ingest cost — only the new batch's
     # signatures are computed; the index streams from parquet)

@@ -129,36 +129,64 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
 
 def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", width: int = 40,
-                     stride: int = 1) -> DataFrame:
+                     stride: int = 1,
+                     sample_mod: int | None = None) -> DataFrame:
     """(id, pos, span_hash) — md5 of each ``width``-char window of the
     NORMALIZED text at ``stride`` spacing.
 
     ``stride=1`` (default) is EXACT: any repeated run ≥ ``width`` chars
     shares a full window wherever it sits — the hash-window form of
-    suffix-array substring dedup, at one row per character (len/1 rows;
-    the price of exactness). ``stride>1`` samples ALIGNED windows — cost
-    drops to len/stride rows, but only repeats whose offsets agree mod
-    stride are found (identical whole texts, templated fixed layouts);
-    alignment-robust sampling needs content-defined anchors (winnowing),
-    not strides. All JVM: sequence → substring → md5; md5 for
-    cross-engine oracle parity. The tail window may be shorter than
-    ``width`` (substring truncates) — deterministic on both engines."""
+    suffix-array substring dedup, at one row per character (the price of
+    exactness). ``stride>1`` samples ALIGNED windows — only repeats whose
+    offsets agree mod stride are found; the alignment-robust sampler is
+    ``sample_mod``: keep only windows whose 32-bit md5 prefix ≡ 0 mod
+    ``sample_mod`` (expected density 1/mod). Selection depends on CONTENT
+    alone, so both copies of a repeated run keep the same windows
+    wherever the run sits — the mod-p fingerprinting scheme (rsync/CDC
+    lineage); a repeated run is detected when it contains ≥1 selected
+    window (probability 1-(1-1/mod)^(run_len-width+1)).
+
+    Kernel: normalization runs ONCE per document JVM-side, then an Arrow
+    pandas UDF hashes the windows (hashlib md5 — byte-identical to
+    Spark/DuckDB md5 over UTF-8). The pure-Catalyst form
+    (explode(sequence) → md5(substring(_t, pos, w))) was measured 38
+    µs/window: CollapseProject inlines the normalized-text alias past
+    the Generate, re-running both normalization regexes for EVERY window
+    row — the same alias-inlining trap as the round-1 MinHash fold.
+    Mod-filtering happens inside the kernel, so sampled mode ships only
+    selected windows out of Python. Tail windows may be shorter than
+    ``width`` (slice truncates) — deterministic on both engines."""
+    import hashlib
+
     from .dedup import normalized_text_col
-    norm = normalized_text_col(F.col(text_col))
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(norm) - (width - 1), F.lit(1)),
-        F.lit(stride))
-    return (df.select(
-        F.col(id_col), norm.alias("_t"),
-        F.explode(positions).alias("pos"))
-        .select(id_col, "pos",
-                F.md5(F.substring(F.col("_t"), F.col("pos"), width))
-                .alias("span_hash")))
+
+    @F.pandas_udf("array<struct<pos:int,h:string>>")
+    def spans(ts):
+        import pandas as pd
+        out = []
+        for t in ts:
+            t = t or ""
+            upper = max(len(t) - (width - 1), 1)
+            lst = []
+            for p in range(1, upper + 1, stride):
+                h = hashlib.md5(t[p - 1:p - 1 + width].encode()).hexdigest()
+                if sample_mod is None or int(h[:8], 16) % sample_mod == 0:
+                    lst.append({"pos": p, "h": h})
+            out.append(lst)
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col),
+                      spans(normalized_text_col(F.col(text_col)))
+                      .alias("_s"))
+            .select(id_col, F.explode("_s").alias("_e"))
+            .select(id_col, F.col("_e.pos").alias("pos"),
+                    F.col("_e.h").alias("span_hash")))
 
 
 def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", width: int = 40,
-                        stride: int = 1) -> DataFrame:
+                        stride: int = 1,
+                        sample_mod: int | None = None) -> DataFrame:
     """Per-document substring-repetition stats: ``n_spans`` windows,
     ``n_repeated`` whose hash occurs ≥2 times ANYWHERE in the corpus
     (other docs or elsewhere in the same doc), and their ratio — the
@@ -166,7 +194,8 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
     before the expensive exact-extent pass. One shuffle on the 16-byte
     hash (map-side combined count), one broadcast-back of the repeated
     hash set sized by the repeat vocabulary, one per-doc aggregation."""
-    occ = span_occurrences(df, id_col, text_col, width, stride)
+    occ = span_occurrences(df, id_col, text_col, width, stride,
+                           sample_mod)
     counts = occ.groupBy("span_hash").agg(F.count(F.lit(1)).alias("_n"))
     return (occ.join(counts, "span_hash")
             .groupBy(id_col)

@@ -985,6 +985,46 @@ def d_repeated_spans(spark, sf_dir):
     return repeated_span_stats(base, width=40, stride=1)
 
 
+@q("d_repeated_spans_sampled", r"""
+WITH base AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id - (a.doc_id % 2)
+  WHERE a.doc_id < 100),
+norm AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t
+  FROM base),
+occ AS (SELECT doc_id, p AS pos, md5(substr(t, p::INT, 40)) AS h
+        FROM norm CROSS JOIN (SELECT unnest(range(1, 100000)) AS p) u
+        WHERE p <= greatest(length(t) - 39, 1)
+          AND ('0x' || substr(md5(substr(t, p::INT, 40)), 1, 8))::BIGINT
+              % 8 = 0),
+cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+       round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS repeat_ratio
+FROM occ JOIN cnt USING (h) GROUP BY doc_id
+""")
+def d_repeated_spans_sampled(spark, sf_dir):
+    """Substring repetition at SCALE density: content-defined mod-hash
+    sampling (keep windows whose 32-bit md5 prefix ≡ 0 mod 8 — expected
+    1/8 of the dense rows, alignment-robust because selection depends on
+    content alone). Stats over the SAMPLED occurrence set; the oracle
+    applies the identical mod rule. Documents with no selected window
+    produce no row on either engine."""
+    from ..operators.paragraph import repeated_span_stats
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 100")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    base = (a.join(b, F.col("b.doc_id")
+                   == F.col("a.doc_id") - (F.col("a.doc_id") % 2))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.when(F.col("a.doc_id") % 2 == 1, F.col("b.text"))
+                    .otherwise(F.col("a.text")).alias("text")))
+    return repeated_span_stats(base, width=40, stride=1, sample_mod=8)
+
+
 @q("d_incremental_simhash_pairs", r"""
 WITH base AS (SELECT a.doc_id,
     CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text

@@ -601,3 +601,35 @@ def test_repeated_span_stats(spark):
     assert stats[2]["repeat_ratio"] == 1.0
     assert stats[3]["repeat_ratio"] == 1.0
     assert stats[0]["repeat_ratio"] < 1.0  # has unique tail windows
+
+
+def test_span_mod_sampling_is_alignment_robust(spark):
+    """Content-defined (mod-hash) span sampling keeps the SAME windows in
+    both copies of a repeated run wherever it sits — an unaligned long
+    shared run is still detected at 1/mod density, and the sampled
+    occurrence set is exactly the dense set filtered by the mod rule."""
+    import hashlib
+
+    from crawler_seo_spark.operators.paragraph import span_occurrences
+
+    shared = ("repeated boilerplate content block that appears in many "
+              "documents of the corpus with enough length to guarantee "
+              "that at least one content selected window lands inside "
+              "this long run of identical characters across copies")
+    docs = spark.createDataFrame(
+        [(0, shared + " tail zero"),
+         (1, "offset! " + shared),  # unaligned copy (offset not mod-width)
+         (2, "entirely unrelated text without any repetition at all")],
+        "doc_id long, text string")
+    mod = 4
+    occ = span_occurrences(docs, width=40, sample_mod=mod).collect()
+    # sampled == dense filtered by the mod rule (spot-check the rule)
+    for r in occ[:20]:
+        assert int(r["span_hash"][:8], 16) % mod == 0
+    by_doc = {}
+    for r in occ:
+        by_doc.setdefault(r["doc_id"], set()).add(r["span_hash"])
+    # the shared run's selected windows appear in BOTH copies
+    common = by_doc.get(0, set()) & by_doc.get(1, set())
+    assert common, (len(by_doc.get(0, set())), len(by_doc.get(1, set())))
+    assert not (by_doc.get(2, set()) & common)
