@@ -313,23 +313,28 @@ class CrawlEngine:
                     "crawl_delay double, fetch_ok boolean")
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1))
-                     .alias("failed"),
-                     F.sum(F.when(F.col("crawl_delay").isNotNull(), 1)
-                           .otherwise(0)).alias("n_delay"))
+                     .alias("failed"))
             .withColumn("fetched_round", F.lit(round_id))
             # pin: the fetch kernel feeds BOTH the anti-join build side
             # and the union branch — without this the mapInPandas subtree
             # executes twice and every todo host gets two robots.txt
             # requests per refresh
             .localCheckpoint(eager=True))
+        cache_obs = Observation()
         self._robots_dynamic = (
             self._robots_dynamic
             .join(fetched.select("host"), "host", "left_anti")
             .unionByName(fetched)
+            .observe(cache_obs,
+                     F.sum(F.when(F.col("crawl_delay").isNotNull(), 1)
+                           .otherwise(0)).alias("n_delay"))
             .localCheckpoint(eager=True))
         # fail-open (non-200/error robots → allow-all) must be observable,
         # not silent: the counters ride the checkpoint materialization
-        self._robots_delay_count += int(obs.get["n_delay"] or 0)
+        # recomputed from the WHOLE cache (not accumulated): a TTL
+        # refetch that drops a host's Crawl-delay re-enables the
+        # unlimited-rps fast path
+        self._robots_delay_count = int(cache_obs.get["n_delay"] or 0)
         failed = obs.get["failed"] or 0
         if failed:
             logging.getLogger(__name__).warning(
@@ -384,6 +389,17 @@ class CrawlEngine:
             part = self.store.read(self.spark, "results", r)
             results_parts.append(part)
             filtered_parts.append(self._filtered_from(part))
+        # live-robots state is part of the replayed inputs: without it a
+        # resumed round would take the unlimited-rps fast path (breaking
+        # bit-identical resume) and ignore learned Crawl-delays until the
+        # next TTL refetch
+        try:
+            self._robots_dynamic = self.store.read(
+                self.spark, "robots", last).localCheckpoint(eager=True)
+            self._robots_delay_count = self._robots_dynamic.filter(
+                F.col("crawl_delay").isNotNull()).count()
+        except Exception:
+            pass  # crawl ran without live robots — nothing to restore
         return dict(frontier=frontier, seen=seen,
                     results_parts=results_parts,
                     filtered_parts=filtered_parts,
@@ -802,6 +818,9 @@ class CrawlEngine:
                 # second round of work per race lost)
                 try:
                     self.store.write("results", result, round_id)
+                    if self._robots_dynamic is not None:
+                        self.store.write("robots", self._robots_dynamic,
+                                         round_id)
                     self.store.commit_round(round_id, rounds[-1])
                 except ConcurrentCommitError:
                     # a LIVE peer publishes the manifest within ms of the
@@ -850,9 +869,12 @@ class CrawlEngine:
                 publish_errs: list[BaseException] = []
 
                 def _publish(res=result, rid=round_id, cnt=rounds[-1],
+                             robots=self._robots_dynamic,
                              errs=publish_errs):
                     try:
                         self.store.write("results", res, rid)
+                        if robots is not None:
+                            self.store.write("robots", robots, rid)
                         self.store.commit_round(rid, cnt)
                     except BaseException as e:  # re-raised at next join
                         errs.append(e)

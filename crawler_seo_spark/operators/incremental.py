@@ -74,6 +74,34 @@ class _IncrementalIndex:
                       prev_round: int | None) -> DataFrame:
         raise NotImplementedError
 
+    def _publish_with_rebase(self, round_id: int | None, derive):
+        """The append → commit → (rebase on lost race) protocol, shared by
+        every index family. ``derive(prev_round) -> (result,
+        rows_to_append, counters)`` is re-invoked against the NEW
+        committed round after each lost race (its inputs are pinned by the
+        caller, so nothing expensive recomputes)."""
+        while True:
+            prev_round = self.committed_round()
+            rid = round_id if round_id is not None else (
+                0 if prev_round is None else prev_round + 1)
+            result, rows, counters = derive(prev_round)
+            self.store.append(self.table, rows, rid,
+                              parent_round=prev_round)
+            try:
+                self.store.commit_round(rid, counters)
+                return result
+            except ConcurrentCommitError:
+                if self.store.writer_id is None or round_id is not None:
+                    raise  # single-writer contract / caller pinned round
+                # a live peer publishes the manifest within ms of its
+                # marker claim — wait for it (a first-round race would
+                # otherwise read manifest=None and misdiagnose). Timeout
+                # ⇒ orphaned marker from a crashed run: clean and raise.
+                if self.store.await_round(rid) is None:
+                    self.store.abort_round(rid)
+                    raise
+                self.store.abort_round(rid)
+
     def ingest(self, spark: SparkSession, new_docs: DataFrame,
                round_id: int | None = None,
                extra_counters: dict | None = None) -> DataFrame:
@@ -100,32 +128,16 @@ class _IncrementalIndex:
                     .localCheckpoint(eager=True))
         n_new = int(obs.get["n"])
 
-        while True:
-            prev_round = self.committed_round()
-            rid = round_id if round_id is not None else (
-                0 if prev_round is None else prev_round + 1)
+        def derive(prev_round):
             pairs = self._derive_pairs(spark, new_sigs, prev_round)
-            self.store.append(self.table, new_sigs, rid,
-                              parent_round=prev_round)
             counters = {"n_new": n_new, "n_total": n_new,
                         **(extra_counters or {})}
             if prev_round is not None:
                 counters["n_total"] += self.store.manifest()["counters"] \
                     .get("n_total", 0)
-            try:
-                self.store.commit_round(rid, counters)
-                return pairs
-            except ConcurrentCommitError:
-                if self.store.writer_id is None or round_id is not None:
-                    raise  # single-writer contract / caller pinned round
-                # a live peer publishes the manifest within ms of its
-                # marker claim — wait for it (a first-round race would
-                # otherwise read manifest=None and misdiagnose). Timeout
-                # ⇒ orphaned marker from a crashed run: clean and raise.
-                if self.store.await_round(rid) is None:
-                    self.store.abort_round(rid)
-                    raise
-                self.store.abort_round(rid)
+            return pairs, new_sigs, counters
+
+        return self._publish_with_rebase(round_id, derive)
 
     def replay_pairs(self, spark: SparkSession,
                      round_id: int) -> DataFrame:
@@ -283,7 +295,7 @@ class SimHashIndex(_IncrementalIndex):
                 .distinct())
 
 
-class ParagraphIndex:
+class ParagraphIndex(_IncrementalIndex):
     """Incremental PARAGRAPH-level exact dedup against a persisted
     paragraph-hash index — the batch-ingest form of
     :mod:`~crawler_seo_spark.operators.paragraph`: each arriving batch
@@ -296,7 +308,9 @@ class ParagraphIndex:
     occurrence of each surviving hash. Membership probing streams the
     index against the BROADCAST batch (semi-join on the batch's distinct
     hashes, then the small hit set broadcasts back onto the occurrences),
-    so the per-ingest cost is O(batch) plus one index scan.
+    so the per-ingest cost is O(batch) plus one index scan. The
+    commit-race rebase protocol is the shared
+    :meth:`_IncrementalIndex._publish_with_rebase`.
 
     Equivalence invariant (tested + the ``d_incremental_paragraph_corpus``
     oracle): when batches arrive in ascending ``(doc_id)`` order, the
@@ -309,26 +323,16 @@ class ParagraphIndex:
                  id_col: str = "doc_id", text_col: str = "text",
                  delimiter: str | None = None) -> None:
         from .paragraph import PARA_DELIM
-        self.store = store
-        self.table = table
-        self.id_col = id_col
-        self.text_col = text_col
+        super().__init__(store, table, id_col, text_col)
         self.delimiter = PARA_DELIM if delimiter is None else delimiter
 
-    def committed_round(self) -> int | None:
-        m = self.store.manifest()
-        return None if m is None else m["round"]
-
     def index(self, spark: SparkSession) -> DataFrame | None:
-        r = self.committed_round()
-        return None if r is None else self.store.read(spark, self.table, r)
+        return self.signatures(spark)
 
     def ingest(self, spark: SparkSession, new_docs: DataFrame,
                round_id: int | None = None) -> DataFrame:
         """Ingest a batch; returns its paragraph-dedup'd corpus
-        (id, text) and publishes the appended hash-index snapshot.
-        Cooperative writers rebase on lost commit races (same contract as
-        the signature indexes)."""
+        (id, text) and publishes the appended hash-index snapshot."""
         from .paragraph import (corpus_from_marked,
                                 mark_duplicate_paragraphs,
                                 paragraph_occurrences)
@@ -337,10 +341,7 @@ class ParagraphIndex:
             .localCheckpoint(eager=True)
         doc_ids = new_docs.select(self.id_col).localCheckpoint(eager=True)
 
-        while True:
-            prev_round = self.committed_round()
-            rid = round_id if round_id is not None else (
-                0 if prev_round is None else prev_round + 1)
+        def derive(prev_round):
             marked = mark_duplicate_paragraphs(occ, self.id_col)
             if prev_round is not None:
                 prev = self.store.read(spark, self.table, prev_round)
@@ -356,20 +357,11 @@ class ParagraphIndex:
                     .drop("_in_index"))
             new_firsts = (marked.filter(~F.col("is_dup"))
                           .select("para_hash", self.id_col, "para_idx"))
-            self.store.append(self.table, new_firsts, rid,
-                              parent_round=prev_round)
-            try:
-                self.store.commit_round(rid, {"round": rid})
-                return corpus_from_marked(doc_ids, marked, self.id_col,
-                                          self.text_col, self.delimiter)
-            except ConcurrentCommitError:
-                if self.store.writer_id is None or round_id is not None:
-                    raise
-                if self.store.await_round(rid) is None:
-                    self.store.abort_round(rid)
-                    raise
-                self.store.abort_round(rid)
+            corpus = corpus_from_marked(doc_ids, marked, self.id_col,
+                                        self.text_col, self.delimiter)
+            return corpus, new_firsts, {"parent": prev_round}
 
+        return self._publish_with_rebase(round_id, derive)
 
 class EmbeddingIndex(_IncrementalIndex):
     """Persisted embedding index for incremental cosine near-dup — the

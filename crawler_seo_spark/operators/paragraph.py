@@ -166,6 +166,11 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
         out = []
         for t in ts:
             t = t or ""
+            if not t:
+                # empty normalized text yields NO windows — two blank
+                # docs must not "repeat" via a shared md5('')
+                out.append([])
+                continue
             upper = max(len(t) - (width - 1), 1)
             lst = []
             for p in range(1, upper + 1, stride):
@@ -191,16 +196,24 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
     ``n_repeated`` whose hash occurs ≥2 times ANYWHERE in the corpus
     (other docs or elsewhere in the same doc), and their ratio — the
     span-level containment signal a training pipeline thresholds on
-    before the expensive exact-extent pass. One shuffle on the 16-byte
-    hash (map-side combined count), one broadcast-back of the repeated
-    hash set sized by the repeat vocabulary, one per-doc aggregation."""
+    before the expensive exact-extent pass. Documents whose normalized
+    text is empty produce no row (no windows — consistent with
+    paragraph_stats). Shuffles: the count aggregation moves map-side
+    combined (hash, partial-count) rows; the flagging join's right side
+    is pre-filtered to the REPEAT vocabulary only (most hashes in a
+    real corpus are unique — joining the full count table would ship
+    ~|corpus| rows for nothing); one per-doc aggregation."""
     occ = span_occurrences(df, id_col, text_col, width, stride,
                            sample_mod)
-    counts = occ.groupBy("span_hash").agg(F.count(F.lit(1)).alias("_n"))
-    return (occ.join(counts, "span_hash")
+    repeated = (occ.groupBy("span_hash")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("span_hash"))
+    return (occ.join(repeated.withColumn("_rep", F.lit(1)),
+                     "span_hash", "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+                 F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0))
                  .alias("n_repeated"))
             .withColumn("repeat_ratio",
                         F.round(F.col("n_repeated") / F.col("n_spans"), 6)))

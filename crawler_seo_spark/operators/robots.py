@@ -22,6 +22,11 @@ from ..functions.urlnorm import host_col
 
 RULES_TYPE = "array<struct<allow:boolean,prefix:string,rx:string>>"
 
+# Hostile/typo'd robots.txt must not stall the crawl: 'Crawl-delay: inf'
+# would sleep(inf) in the fetch kernel, '1e15' would hang an executor for
+# years. Real crawlers clamp; 60 s is the common ceiling.
+CRAWL_DELAY_CAP_S = 60.0
+
 
 def compile_wildcard(pattern: str) -> str | None:
     """RFC 9309 ``*``/``$`` pattern → anchored Java regex, or None for a
@@ -145,6 +150,9 @@ def _parse_groups(content: str) -> dict[str, dict]:
                 delay = float(value)
             except ValueError:
                 continue
+            if not (delay == delay and 0 <= delay):  # NaN / negative
+                continue
+            delay = min(delay, CRAWL_DELAY_CAP_S)
             for a in current_agents:
                 grp(a)["crawl_delay"] = delay
         else:

@@ -960,7 +960,7 @@ norm AS (SELECT doc_id,
   FROM base),
 occ AS (SELECT doc_id, p AS pos, md5(substr(t, p::INT, 40)) AS h
         FROM norm CROSS JOIN (SELECT unnest(range(1, 100000)) AS p) u
-        WHERE p <= greatest(length(t) - 39, 1)),
+        WHERE length(t) > 0 AND p <= greatest(length(t) - 39, 1)),
 cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h)
 SELECT doc_id, count(*)::BIGINT AS n_spans,
        sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
@@ -997,7 +997,7 @@ norm AS (SELECT doc_id,
   FROM base),
 occ AS (SELECT doc_id, p AS pos, md5(substr(t, p::INT, 40)) AS h
         FROM norm CROSS JOIN (SELECT unnest(range(1, 100000)) AS p) u
-        WHERE p <= greatest(length(t) - 39, 1)
+        WHERE length(t) > 0 AND p <= greatest(length(t) - 39, 1)
           AND ('0x' || substr(md5(substr(t, p::INT, 40)), 1, 8))::BIGINT
               % 8 = 0),
 cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h)

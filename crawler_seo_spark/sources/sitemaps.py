@@ -7,13 +7,14 @@ fetching on the EXECUTORS (the same injected fetcher contract as the
 live engine — one ``mapInPandas`` over the sitemap URLs, bodies parsed
 worker-side with the stdlib XML parser) and returns plain DataFrames the
 caller feeds into ``CrawlConfig.seed_urls`` or joins against the
-frontier. Sitemap indexes are followed one level (the spec's nesting
-depth for all practical sites); deeper nesting re-enters through the
-returned child-sitemap rows.
+frontier. Sitemap indexes are followed ``max_index_depth`` levels;
+sitemaps still pending when the depth budget runs out are LOGGED (never
+silently dropped).
 """
 
 from __future__ import annotations
 
+import logging
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame
@@ -28,6 +29,12 @@ def parse_sitemap(xml_text: str) -> tuple[list[str], list[str]]:
     ``<urlset>`` yields page urls; ``<sitemapindex>`` yields child
     sitemaps. Namespaced and namespace-less documents both parse
     (real-world sitemaps are sloppy); malformed XML yields ([], [])."""
+    head = (xml_text or "")[:4096]
+    if "<!DOCTYPE" in head or "<!ENTITY" in head:
+        # untrusted remote XML: refuse DTD/entity declarations outright
+        # (billion-laughs / quadratic entity expansion would blow up the
+        # executor before ParseError ever fires)
+        return [], []
     try:
         root = ET.fromstring(xml_text or "")
     except ET.ParseError:
@@ -105,5 +112,14 @@ def fetch_sitemap_urls(sitemap_locs: DataFrame, fetch_fn_factory,
         frontier = fetched.filter("is_sitemap") \
             .select(F.col("url").alias("sitemap_url")).distinct()
         if frontier.isEmpty():
+            frontier = None
             break
+    if frontier is not None:
+        n_pending = frontier.count()
+        if n_pending:
+            logging.getLogger(__name__).warning(
+                "sitemap index nesting exceeds max_index_depth=%d: "
+                "%d sitemap(s) not fetched — their page urls are MISSING "
+                "from the result; raise max_index_depth",
+                max_index_depth, n_pending)
     return pages.distinct()

@@ -131,3 +131,51 @@ def test_cooperative_two_writers_match_serial(spark, pages_df):
                     referenced |= {os.path.basename(d) for d in json.load(f)}
         dirs = {n for n in names if os.path.isdir(os.path.join(tdir, n))}
         assert dirs <= referenced, (table, dirs - referenced)
+
+
+def test_resume_restores_live_robots_state(spark):
+    """Live-robots state (rules cache + Crawl-delay) is part of the
+    committed snapshot: a resumed run must replay the same per-host
+    schedule (bit-identical contract) instead of silently falling back
+    to the unlimited-rps fast path until the next TTL refetch."""
+    import os
+
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL as DOC_SEED, live_fetch_factory)
+
+    body = "User-agent: *\nCrawl-delay: 0.002\nDisallow: /blog/\n"
+
+    def factory():
+        inner = live_fetch_factory(150)()
+
+        def fetch(url):
+            if url.endswith("/robots.txt"):
+                return {"status_code": 200, "content_type": "text/plain",
+                        "final_url": url, "response_time_ms": 1.0,
+                        "content_length": len(body), "html": body,
+                        "headers": {}}
+            return inner(url)
+        return fetch
+
+    def run(ckpt, resume=False):
+        cfg = CrawlConfig(seed_url=DOC_SEED, max_urls=45, batch_size=15,
+                          requests_per_second=1e9, fetch_robots=True,
+                          checkpoint_dir=ckpt)
+        return CrawlEngine(spark, None, cfg,
+                           fetch_fn_factory=factory).run(resume=resume)
+
+    full = run(tempfile.mkdtemp(prefix="rb_full_"))
+    want = sorted((r["crawl_seq"], r["url"], r["scheduled_offset_ms"])
+                  for r in full.results.select(
+                      "crawl_seq", "url", "scheduled_offset_ms").collect())
+
+    ckpt = tempfile.mkdtemp(prefix="rb_kill_")
+    run(ckpt)
+    store = SnapshotStore(ckpt)
+    store.rollback(store.manifest()["round"] - 1)  # kill after round n-1
+    resumed = run(ckpt, resume=True)
+    got = sorted((r["crawl_seq"], r["url"], r["scheduled_offset_ms"])
+                 for r in resumed.results.select(
+                     "crawl_seq", "url", "scheduled_offset_ms").collect())
+    assert got == want  # incl. the resumed round's Crawl-delay offsets
+    assert any(off > 0 for _, _, off in got)
