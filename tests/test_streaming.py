@@ -146,3 +146,31 @@ def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
     fn(docs(range(10, 20)), 1)                 # next epoch proceeds
     assert index.committed_round() == 1
     assert index.signatures(spark).count() == 20
+
+
+def test_streaming_ingest_generic_over_simhash_index(spark, tmp_path):
+    """make_ingest_batch is family-generic: SimHashIndex drives the same
+    foreachBatch path (epoch idempotency keys off the shared commit
+    counters, replay_pairs off the shared snapshot-delta logic)."""
+    from crawler_seo_spark.operators.incremental import SimHashIndex
+    from crawler_seo_spark.streaming.ingest import make_ingest_batch
+    from crawler_seo_spark.tables import SnapshotStore
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, f"group {i // 2} alpha beta gamma delta epsilon")
+             for i in ids], "doc_id long, text string")
+
+    idx = SimHashIndex(SnapshotStore(str(tmp_path / "shx")),
+                       hash_mode="xxhash64", band_bits=4, max_hamming=6)
+    fn = make_ingest_batch(idx, str(tmp_path / "pairs"))
+    fn(docs(range(10)), 0)
+    fn(docs(range(10)), 0)   # replay: no double append
+    fn(docs(range(10, 20)), 1)
+    assert idx.committed_round() == 1
+    assert idx.signatures(spark).count() == 20
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    # planted exact-dup pairs present (cross-group pairs may also pass
+    # the hamming cut — the texts share most tokens by construction)
+    assert (0, 1) in got and (10, 11) in got
