@@ -374,6 +374,17 @@ class CrawlEngine:
                         F.col("f.reason").alias("reason"), "round"))
 
     # ------------------------------------------------------------------
+    def _filter_covered_round(self) -> int:
+        """Last round whose urls the seen filter is KNOWN to contain
+        (persisted in the filter's own manifest counters, so it rides
+        the same atomic save as ``n_inserted``). -1 = unknown/none."""
+        return int(self.bloom.meta.counters.get("covered_round", -1))
+
+    def _mark_filter_covered(self, round_id: int) -> None:
+        self.bloom.meta.counters["covered_round"] = round_id
+        self.bloom.meta.save()
+
+    # ------------------------------------------------------------------
     def _load_committed_state(self) -> dict:
         """Reconstruct the full per-round loop state from the manifest's
         committed round — the resume path, and the rebase target for a
@@ -393,13 +404,16 @@ class CrawlEngine:
         # resumed round would take the unlimited-rps fast path (breaking
         # bit-identical resume) and ignore learned Crawl-delays until the
         # next TTL refetch
-        try:
+        # Missing robots snapshot = crawl ran without live robots, nothing
+        # to restore. A PRESENT-but-unreadable one must NOT degrade to
+        # no-robots state (the resumed round would take the unlimited-rps
+        # fast path and ignore learned Crawl-delays) — let the read error
+        # propagate.
+        if self.store.has_table("robots", last):
             self._robots_dynamic = self.store.read(
                 self.spark, "robots", last).localCheckpoint(eager=True)
             self._robots_delay_count = self._robots_dynamic.filter(
                 F.col("crawl_delay").isNotNull()).count()
-        except Exception:
-            pass  # crawl ran without live robots — nothing to restore
         return dict(frontier=frontier, seen=seen,
                     results_parts=results_parts,
                     filtered_parts=filtered_parts,
@@ -455,6 +469,19 @@ class CrawlEngine:
             frontier_count = st["frontier_count"]
             seen_count = st["seen_count"]
             round_id = st["round_id"]
+            # A reopened filter is only trustworthy if it covers every
+            # committed round: a writer that crashed and rejoined has
+            # filter state from ITS last round, but peers (or a later
+            # single-writer run) committed rounds while it was down — a
+            # bloom miss on one of their urls is a definite-negative that
+            # bypasses the exact anti-join and duplicates the crawl.
+            # Covered ≥ manifest round ⇒ superset of the committed seen
+            # set (extra aborted-round urls only cost false positives,
+            # which the exact join absorbs). Anything less ⇒ reset; the
+            # activation-time backfill rebuilds from the committed seen.
+            if (self.bloom.n_inserted
+                    and self._filter_covered_round() < manifest["round"]):
+                self.bloom.reset()
         else:
             # fresh run: a stale store/filter from a previous run over the
             # same checkpoint dir must not leak into this one — old commit
@@ -664,6 +691,9 @@ class CrawlEngine:
                 # prune exactness — false negatives remain impossible).
                 if self.bloom.n_inserted == 0:
                     self.bloom.add_urls(seen.select("url"))
+                    # `seen` here is the state entering this round ⇒ the
+                    # filter now covers everything through round_id - 1
+                    self._mark_filter_covered(round_id - 1)
                 bloom_active = True
             if bloom_active:
                 new_links = self.bloom.prune_new(candidates, seen)
@@ -787,6 +817,10 @@ class CrawlEngine:
             seen_count += enqueued
             if bloom_active:
                 self.bloom.add_urls(new_frontier.select("url"))
+                # even if a cooperative commit race is lost below, marking
+                # this round covered is safe: the rebase path resets the
+                # filter (clearing the marker) before any reuse
+                self._mark_filter_covered(round_id)
             t_merge = time.monotonic()
 
             def ms(a, b):

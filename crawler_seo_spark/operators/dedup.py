@@ -237,24 +237,100 @@ def banded_keys(signatures: DataFrame, bands: int = 8,
         ])).alias("band", "band_key"))
 
 
+def guarded_band_pairs(banded: DataFrame, id_col: str,
+                       max_bucket: int | None = None,
+                       hash_col: str | None = None,
+                       distinct: bool = True) -> DataFrame:
+    """Self-join banded rows on (band, band_key) into canonical id pairs
+    — the one primitive behind every banded near-dup search here — with
+    an optional HOT-BUCKET guard for template-degenerate corpora.
+
+    Real web corpora are not uniform: 10^5 near-identical boilerplate
+    pages share a band key, and an unguarded self-join makes that one
+    bucket O(10^10) pairs. With ``max_bucket`` set, buckets whose
+    population exceeds it are NOT self-joined; instead every member pairs
+    with the bucket's minimum-id member (STAR pairing): pair count drops
+    from n·(n−1)/2 to n−1 per hot bucket, while downstream
+    connected-components sees the identical component (all members stay
+    linked through the representative — only the redundant intra-clique
+    edges are dropped, and a clique's CC is determined by any spanning
+    star). Nothing is silently dropped: every hot-bucket member still
+    emits a pair, and the cap is COUNTED — the returned DataFrame carries
+    a ``hot_bucket_observation`` attribute (:class:`pyspark.sql.Observation`
+    with ``hot_buckets`` / ``hot_rows``) that fires with the action, plus
+    a plan-time log line.
+
+    ``max_bucket=None`` (default) preserves the exact all-pairs
+    semantics — the oracle-parity configuration.
+
+    With ``hash_col`` set, pairs carry ``hash_a``/``hash_b`` (for exact
+    Hamming verification); the star side takes the representative's hash
+    from the same ``min(struct(id, hash))`` aggregate, so verification
+    semantics are uniform across both sides.
+    """
+    hc = [hash_col] if hash_col else []
+    out_hashes = ([F.col(f"l.{hash_col}").alias("hash_a"),
+                   F.col(f"r.{hash_col}").alias("hash_b")] if hash_col
+                  else [])
+    if max_bucket is None:
+        normal, hot, obs = banded, None, None
+    else:
+        from pyspark.sql import Observation
+        obs = Observation()
+        counts = (banded.groupBy("band", "band_key")
+                  .agg(F.count("*").alias("_bn"),
+                       F.min(F.struct(id_col, *hc)).alias("_rep"))
+                  .observe(
+                      obs,
+                      F.sum(F.when(F.col("_bn") > max_bucket, 1)
+                            .otherwise(0)).alias("hot_buckets"),
+                      F.sum(F.when(F.col("_bn") > max_bucket,
+                                   F.col("_bn")).otherwise(0))
+                      .alias("hot_rows")))
+        # equi-join on the SAME keys as the groupBy: the banded exchange
+        # is hash-partitioned identically for both consumers, so Spark's
+        # ReusedExchange computes the banding once
+        withn = banded.join(counts, ["band", "band_key"])
+        normal = withn.filter(F.col("_bn") <= max_bucket) \
+                      .drop("_bn", "_rep")
+        hot = withn.filter(F.col("_bn") > max_bucket)
+        import logging
+        logging.getLogger(__name__).info(
+            "banded self-join guarded: buckets > %d rows take the "
+            "linear star path (see hot_bucket_observation)", max_bucket)
+    l, r = normal.alias("l"), normal.alias("r")
+    pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.band_key") == F.col("r.band_key"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"), *out_hashes))
+    if hot is not None:
+        star_hashes = ([F.col(f"_rep.{hash_col}").alias("hash_a"),
+                        F.col(hash_col).alias("hash_b")] if hash_col
+                       else [])
+        star = (hot.filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
+                .select(F.col(f"_rep.{id_col}").alias("id_a"),
+                        F.col(id_col).alias("id_b"), *star_hashes))
+        pairs = pairs.unionByName(star)
+    if distinct:
+        pairs = pairs.distinct()
+    pairs.hot_bucket_observation = obs
+    return pairs
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signatures and self-join on (band, band-key).
 
     k/bands rows per band; documents agreeing on any full band collide.
     The join is an equi-join on the band hash — the only shuffle, and it
     moves (band, key, id) triples, never the signatures or the text.
+    ``max_bucket`` caps template-degenerate buckets via
+    :func:`guarded_band_pairs` star pairing (None = exact all-pairs).
     """
     banded = banded_keys(signatures, bands, id_col)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (left.join(right,
-                      (F.col(f"l.band") == F.col("r.band"))
-                      & (F.col("l.band_key") == F.col("r.band_key"))
-                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+    return guarded_band_pairs(banded, id_col, max_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -342,23 +418,29 @@ def hamming_banded_keys(df: DataFrame, id_col: str, hash_col: str,
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 32,
                   band_bits: int = 8, max_hamming: int = 3,
-                  hash_mode: str = "md5") -> DataFrame:
+                  hash_mode: str = "md5",
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band the hash into ``bits/band_bits``
     chunks (pigeonhole: hamming ≤ bands-1 guarantees a shared band), join on
-    any equal band, verify Hamming distance exactly via bit_count(xor)."""
+    any equal band, verify Hamming distance exactly via bit_count(xor).
+    ``max_bucket`` caps template-degenerate buckets (star pairing via
+    :func:`guarded_band_pairs`; the exact Hamming verify still applies to
+    every emitted pair)."""
     h = df.select(F.col(id_col),
                   simhash64(F.col(text_col), bits, hash_mode).alias("sh"))
     banded = hamming_banded_keys(h, id_col, "sh", bits, band_bits)
-    l, r = banded.alias("l"), banded.alias("r")
-    pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
-                    & (F.col("l.band_key") == F.col("r.band_key"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
-                     .alias("hamming"))
-             .distinct())
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = guarded_band_pairs(banded, id_col, max_bucket, hash_col="sh",
+                               distinct=False)
+    # exact verify BEFORE the distinct: the dedup exchange carries only
+    # surviving pairs
+    out = (pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+        .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct())
+    out.hot_bucket_observation = pairs.hot_bucket_observation
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +513,8 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 
 def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
                            bits: int = 64, band_bits: int = 16,
-                           max_hamming: int = 2) -> DataFrame:
+                           max_hamming: int = 2,
+                           max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs over an integer fingerprint column (e.g. the image
     table's 64-bit perceptual ``phash``) by banded Hamming search.
 
@@ -449,16 +532,16 @@ def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
     banded = hamming_banded_keys(
         df.select(F.col(id_col), F.col(hash_col).alias("_h")),
         id_col, "_h", bits, band_bits)
-    l, r = banded.alias("l"), banded.alias("r")
-    return (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.band_key") == F.col("r.band_key"))
-                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h")))
-                    .alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    pairs = guarded_band_pairs(banded, id_col, max_bucket, hash_col="_h",
+                               distinct=False)
+    out = (pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+        .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct())
+    out.hot_bucket_observation = pairs.hot_bucket_observation
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -51,12 +51,17 @@ class _IncrementalIndex:
 
     def __init__(self, store: SnapshotStore, table: str,
                  id_col: str, text_col: str,
-                 broadcast_new: bool = True) -> None:
+                 broadcast_new: bool = True,
+                 max_bucket: int | None = None) -> None:
         self.store = store
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
         self.broadcast_new = broadcast_new
+        # hot-bucket guard: index-side buckets larger than this join new
+        # docs against their min-id REPRESENTATIVE only (linear, not
+        # O(bucket) candidates per new doc). None = exact (oracle parity).
+        self.max_bucket = max_bucket
 
     def committed_round(self) -> int | None:
         m = self.store.manifest()
@@ -157,6 +162,59 @@ class _IncrementalIndex:
     def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
         return F.broadcast(df) if self.broadcast_new else df
 
+    def _trim_hot_index_buckets(self, banded_index: DataFrame,
+                                key_cols: tuple[str, ...]) -> DataFrame:
+        """Hot-bucket guard for the index×new candidate join: a
+        template-degenerate corpus concentrates 10^5+ index rows on one
+        bucket key, making every new doc that lands there emit O(bucket)
+        candidate pairs per ingest. With ``max_bucket`` set, buckets above
+        it are reduced to their minimum-id REPRESENTATIVE row: new
+        members still link into the hot clique through the representative
+        (the clique was fully paired while it grew below the cap, so
+        downstream connected-components sees the same component), but
+        candidate count per new doc is O(1) per hot bucket.
+        ``hot_index_bucket_stats`` reports what the cap trims (run it
+        periodically alongside ingest — the guard itself stays lazy so
+        the derive plan pays no extra action)."""
+        if self.max_bucket is None:
+            return banded_index
+        counts = (banded_index.groupBy(*key_cols)
+                  .agg(F.count("*").alias("_bn"),
+                       F.min(self.id_col).alias("_rep_id")))
+        return (banded_index.join(counts, list(key_cols))
+                .filter((F.col("_bn") <= self.max_bucket)
+                        | (F.col(self.id_col) == F.col("_rep_id")))
+                .drop("_bn", "_rep_id"))
+
+    def hot_index_bucket_stats(self, spark: SparkSession,
+                               key_cols: tuple[str, ...]=("band",
+                                                          "band_key")) \
+            -> dict:
+        """(hot_buckets, hot_rows, max_bucket_rows) over the committed
+        index at the current ``max_bucket`` — the observability side of
+        the guard. One aggregation over banded keys; run it on the cadence
+        monitoring needs, not per ingest."""
+        sigs = self.signatures(spark)
+        if sigs is None:
+            return {"hot_buckets": 0, "hot_rows": 0, "max_bucket_rows": 0}
+        banded = self._banded_index(sigs)
+        cap = self.max_bucket if self.max_bucket is not None else 2 ** 62
+        row = (banded.groupBy(*key_cols).agg(F.count("*").alias("n"))
+               .agg(F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+                    .alias("hot_buckets"),
+                    F.sum(F.when(F.col("n") > cap, F.col("n"))
+                          .otherwise(0)).alias("hot_rows"),
+                    F.max("n").alias("max_bucket_rows"))
+               .collect()[0])
+        return {"hot_buckets": int(row["hot_buckets"] or 0),
+                "hot_rows": int(row["hot_rows"] or 0),
+                "max_bucket_rows": int(row["max_bucket_rows"] or 0)}
+
+    def _banded_index(self, sigs: DataFrame) -> DataFrame:
+        """Subclasses with a banded join expose their banding here (used
+        by :meth:`hot_index_bucket_stats`)."""
+        raise NotImplementedError
+
 
 class SignatureIndex(_IncrementalIndex):
     """Persisted MinHash signature index for incremental LSH dedup.
@@ -172,14 +230,16 @@ class SignatureIndex(_IncrementalIndex):
                  k: int = 32, bands: int = 8, shingle_n: int = 5,
                  shingle_mode: str = "char", hash_mode: str = "md5",
                  impl: str = "arrow", seed: int = 42,
-                 broadcast_new: bool = True) -> None:
+                 broadcast_new: bool = True,
+                 max_bucket: int | None = None) -> None:
         # defaults are ORACLE-PARITY (char shingles, md5 — reproducible in
         # DuckDB); production ingest wants shingle_mode="word", shingle_n=3,
         # hash_mode="xxhash64": char-5 shingling pays interpreted-lambda
         # substring+hash per character (~60x slower, measured) and
         # over-collides on low-vocabulary corpora
         assert k % bands == 0, "k must divide into equal bands"
-        super().__init__(store, table, id_col, text_col, broadcast_new)
+        super().__init__(store, table, id_col, text_col, broadcast_new,
+                         max_bucket)
         self.k = k
         self.bands = bands
         self.shingle_n = shingle_n
@@ -194,6 +254,9 @@ class SignatureIndex(_IncrementalIndex):
             shingle_n=self.shingle_n, seed=self.seed,
             shingle_mode=self.shingle_mode, hash_mode=self.hash_mode,
             impl=self.impl)
+
+    def _banded_index(self, sigs: DataFrame) -> DataFrame:
+        return banded_keys(sigs, self.bands, self.id_col, k=self.k)
 
     def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
                       prev_round: int | None) -> DataFrame:
@@ -211,7 +274,9 @@ class SignatureIndex(_IncrementalIndex):
                          F.col(f"r.{self.id_col}").alias("id_b")))
         if prev_round is not None:
             index = self.store.read(spark, self.table, prev_round)
-            bi = banded_keys(index, self.bands, self.id_col, k=self.k)
+            bi = self._trim_hot_index_buckets(
+                banded_keys(index, self.bands, self.id_col, k=self.k),
+                ("band", "band_key"))
             cross = (bi.alias("i")
                      .join(self._maybe_broadcast(bn).alias("n"),
                            (F.col("i.band") == F.col("n.band"))
@@ -240,11 +305,13 @@ class SimHashIndex(_IncrementalIndex):
                  id_col: str = "doc_id", text_col: str = "text",
                  bits: int = 32, band_bits: int = 8, max_hamming: int = 3,
                  hash_mode: str = "md5",
-                 broadcast_new: bool = True) -> None:
+                 broadcast_new: bool = True,
+                 max_bucket: int | None = None) -> None:
         assert bits % band_bits == 0
         assert max_hamming < bits // band_bits, \
             "pigeonhole needs max_hamming < n_bands"
-        super().__init__(store, table, id_col, text_col, broadcast_new)
+        super().__init__(store, table, id_col, text_col, broadcast_new,
+                         max_bucket)
         self.bits = bits
         self.band_bits = band_bits
         self.max_hamming = max_hamming
@@ -259,6 +326,8 @@ class SimHashIndex(_IncrementalIndex):
     def _banded(self, h: DataFrame) -> DataFrame:
         return hamming_banded_keys(h, self.id_col, "sh",
                                    self.bits, self.band_bits)
+
+    _banded_index = _banded
 
     def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
                       prev_round: int | None) -> DataFrame:
@@ -275,7 +344,8 @@ class SimHashIndex(_IncrementalIndex):
                          hamming.alias("hamming")))
         if prev_round is not None:
             index = self.store.read(spark, self.table, prev_round)
-            bi = self._banded(index)
+            bi = self._trim_hot_index_buckets(self._banded(index),
+                                              ("band", "band_key"))
             xham = F.bit_count(F.col("i.sh").bitwiseXOR(F.col("n.sh")))
             cross = (bi.alias("i")
                      .join(self._maybe_broadcast(bn).alias("n"),
@@ -380,8 +450,10 @@ class EmbeddingIndex(_IncrementalIndex):
                  table: str = "embeddings_idx", id_col: str = "vec_id",
                  vec_col: str = "embedding", n_planes: int = 6,
                  seed: int = 42, threshold: float = 0.95,
-                 broadcast_new: bool = True) -> None:
-        super().__init__(store, table, id_col, vec_col, broadcast_new)
+                 broadcast_new: bool = True,
+                 max_bucket: int | None = None) -> None:
+        super().__init__(store, table, id_col, vec_col, broadcast_new,
+                         max_bucket)
         from .similarity import hyperplanes
         self.vec_col = vec_col
         self.n_planes = n_planes
@@ -418,8 +490,13 @@ class EmbeddingIndex(_IncrementalIndex):
                                     self._maybe_broadcast(new_sigs),
                                     strict_less=True)
         if prev_round is not None:
-            index = self.store.read(spark, self.table, prev_round)
+            index = self._trim_hot_index_buckets(
+                self.store.read(spark, self.table, prev_round),
+                ("bucket",))
             pairs = pairs.unionByName(self._pairs_between(
                 index, self._maybe_broadcast(new_sigs),
                 strict_less=False))
         return pairs.distinct()
+
+    def _banded_index(self, sigs: DataFrame) -> DataFrame:
+        return sigs

@@ -127,10 +127,52 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
 # Substring-level (n-gram span) repetition — finer than paragraphs
 # ---------------------------------------------------------------------------
 
+# Rabin-Karp base for the vectorized rolling selector: odd (invertible
+# mod 2^64) so prefix differences can be rebased with the modular inverse.
+_RK_BASE = 0x100000001B3          # FNV-1a prime, odd
+_RK_BASE_INV = pow(_RK_BASE, -1, 1 << 64)
+
+
+def _rolling_window_hashes(cp, width):
+    """Vectorized 64-bit polynomial hashes of every ``width``-length
+    window of the uint64 code-point array ``cp`` (wraparound arithmetic —
+    numpy uint64 ops are mod-2^64 by construction, deterministic on every
+    platform). H(p) = Σ cp[p+i]·B^(w−1−i); computed from one cumsum of
+    cp[i]·B^(−i) rebased by B^(p+w−1), then finalizer-mixed so the low
+    bits used for mod selection carry every position's contribution."""
+    import numpy as np
+    n = len(cp)
+    with np.errstate(over="ignore"):
+        base = np.uint64(_RK_BASE)
+        binv = np.uint64(_RK_BASE_INV)
+        # ipow[i] = B^-i, bpow[i] = B^i  (cumprod, wraps mod 2^64)
+        ipow = np.empty(n, dtype=np.uint64)
+        bpow = np.empty(n, dtype=np.uint64)
+        ipow[0] = 1
+        bpow[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, binv, dtype=np.uint64),
+                       out=ipow[1:])
+            np.cumprod(np.full(n - 1, base, dtype=np.uint64),
+                       out=bpow[1:])
+        pref = np.cumsum(cp * ipow, dtype=np.uint64)
+        n_win = n - width + 1
+        win = np.empty(n_win, dtype=np.uint64)
+        win[0] = pref[width - 1]
+        win[1:] = pref[width:] - pref[:n_win - 1]
+        h = win * bpow[width - 1:]
+        # splitmix64-style finalizer: low bits become uniform
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+    return h
+
+
 def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", width: int = 40,
                      stride: int = 1,
-                     sample_mod: int | None = None) -> DataFrame:
+                     sample_mod: int | None = None,
+                     selector: str = "md5") -> DataFrame:
     """(id, pos, span_hash) — md5 of each ``width``-char window of the
     NORMALIZED text at ``stride`` spacing.
 
@@ -146,6 +188,24 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
     lineage); a repeated run is detected when it contains ≥1 selected
     window (probability 1-(1-1/mod)^(run_len-width+1)).
 
+    ``selector`` picks HOW sampled windows are chosen (both are
+    content-defined, so alignment-robustness holds for either):
+
+    * ``"md5"`` (default, ORACLE PARITY): keep windows whose 32-bit md5
+      prefix ≡ 0 mod ``sample_mod`` — reproducible in DuckDB SQL, but it
+      pays a Python-loop md5 for EVERY stride-1 window even in sampled
+      mode (selection needs the digest).
+    * ``"rolling"`` (PRODUCTION): a vectorized numpy Rabin-Karp rolling
+      fingerprint over the code-point array selects windows (one O(n)
+      numpy pass, no per-window Python), then md5 runs ONLY on the
+      ~n/mod selected windows — sampled-mode compute proportional to
+      1/mod, exactly what content-defined selection is for. Emitted
+      hashes are still window md5s, so repeat detection across documents
+      is identical in kind; only WHICH windows are sampled differs from
+      the md5 selector (both are deterministic functions of window
+      content). Not expressible in DuckDB — oracle queries pin
+      ``selector="md5"``.
+
     Kernel: normalization runs ONCE per document JVM-side, then an Arrow
     pandas UDF hashes the windows (hashlib md5 — byte-identical to
     Spark/DuckDB md5 over UTF-8). The pure-Catalyst form
@@ -160,8 +220,14 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 
     from .dedup import normalized_text_col
 
+    if selector not in ("md5", "rolling"):
+        raise ValueError(f"selector must be 'md5' or 'rolling': {selector}")
+    rolling = (selector == "rolling" and sample_mod is not None
+               and stride == 1)
+
     @F.pandas_udf("array<struct<pos:int,h:string>>")
     def spans(ts):
+        import numpy as np
         import pandas as pd
         out = []
         for t in ts:
@@ -170,6 +236,18 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                 # empty normalized text yields NO windows — two blank
                 # docs must not "repeat" via a shared md5('')
                 out.append([])
+                continue
+            if rolling and len(t) >= width:
+                cp = np.frombuffer(t.encode("utf-32-le"),
+                                   dtype="<u4").astype(np.uint64)
+                h64 = _rolling_window_hashes(cp, width)
+                sel = np.nonzero(h64 % np.uint64(sample_mod)
+                                 == np.uint64(0))[0]
+                out.append([
+                    {"pos": int(p) + 1,
+                     "h": hashlib.md5(
+                         t[p:p + width].encode()).hexdigest()}
+                    for p in sel])
                 continue
             upper = max(len(t) - (width - 1), 1)
             lst = []
@@ -191,7 +269,8 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", width: int = 40,
                         stride: int = 1,
-                        sample_mod: int | None = None) -> DataFrame:
+                        sample_mod: int | None = None,
+                        selector: str = "md5") -> DataFrame:
     """Per-document substring-repetition stats: ``n_spans`` windows,
     ``n_repeated`` whose hash occurs ≥2 times ANYWHERE in the corpus
     (other docs or elsewhere in the same doc), and their ratio — the
@@ -204,7 +283,7 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
     real corpus are unique — joining the full count table would ship
     ~|corpus| rows for nothing); one per-doc aggregation."""
     occ = span_occurrences(df, id_col, text_col, width, stride,
-                           sample_mod)
+                           sample_mod, selector)
     repeated = (occ.groupBy("span_hash")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > 1)

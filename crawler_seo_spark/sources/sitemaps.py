@@ -29,11 +29,16 @@ def parse_sitemap(xml_text: str) -> tuple[list[str], list[str]]:
     ``<urlset>`` yields page urls; ``<sitemapindex>`` yields child
     sitemaps. Namespaced and namespace-less documents both parse
     (real-world sitemaps are sloppy); malformed XML yields ([], [])."""
-    head = (xml_text or "")[:4096]
-    if "<!DOCTYPE" in head or "<!ENTITY" in head:
+    text = xml_text or ""
+    if "<!DOCTYPE" in text or "<!ENTITY" in text:
         # untrusted remote XML: refuse DTD/entity declarations outright
         # (billion-laughs / quadratic entity expansion would blow up the
-        # executor before ParseError ever fires)
+        # executor before ParseError ever fires). Scan the WHOLE document,
+        # not a fixed-size head — a hostile prolog can push the DOCTYPE
+        # arbitrarily deep with comments/whitespace. No legitimate sitemap
+        # contains these byte sequences anywhere (a literal '<' inside
+        # element text must be escaped '&lt;'), so a full scan has no
+        # false refusals in practice and stays O(n).
         return [], []
     try:
         root = ET.fromstring(xml_text or "")
@@ -99,7 +104,14 @@ def fetch_sitemap_urls(sitemap_locs: DataFrame, fetch_fn_factory,
                                               "is_sitemap"])
 
     schema = "sitemap_url string, url string, is_sitemap boolean"
-    frontier = sitemap_locs.select("sitemap_url")
+    frontier = sitemap_locs.select("sitemap_url").distinct() \
+        .localCheckpoint(eager=True)
+    # visited accumulates every sitemap url already fetched at ANY level:
+    # a child listed again deeper (or an A↔B index cycle) must not be
+    # refetched — without this, a cycle refetches the pair every level,
+    # always exhausts max_index_depth, and emits a spurious MISSING
+    # warning even though every reachable page was collected
+    visited = frontier
     pages = None
     for _ in range(max_index_depth + 1):
         fetched = frontier.mapInPandas(kernel, schema) \
@@ -109,11 +121,14 @@ def fetch_sitemap_urls(sitemap_locs: DataFrame, fetch_fn_factory,
                                "sitemap_url"))
         pages = level_pages if pages is None \
             else pages.unionByName(level_pages)
-        frontier = fetched.filter("is_sitemap") \
-            .select(F.col("url").alias("sitemap_url")).distinct()
+        frontier = (fetched.filter("is_sitemap")
+                    .select(F.col("url").alias("sitemap_url")).distinct()
+                    .join(visited, "sitemap_url", "left_anti")
+                    .localCheckpoint(eager=True))
         if frontier.isEmpty():
             frontier = None
             break
+        visited = visited.unionByName(frontier)
     if frontier is not None:
         n_pending = frontier.count()
         if n_pending:

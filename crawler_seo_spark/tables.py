@@ -77,8 +77,17 @@ class SnapshotStore:
         uncommitted data and bake it into future append lineage. On open:
         delete this writer's staged file-lists, and any data dirs they
         reference that no OTHER file-list (committed or another writer's
-        staged) references."""
+        staged) references.
+
+        Only dirs THIS writer created are deletion candidates: a staged
+        append file-list also references its parent snapshot's dirs, and
+        legacy full-rewrite rounds (pre file-list) have no .files.json
+        protecting them — deleting everything the staged lists mention
+        would rmtree committed data. Writer-created dirs are exactly the
+        ones whose basename carries the ``.{writer_id}`` suffix
+        (:meth:`_table_dir`)."""
         suffix = f".{self.writer_id}.files.json"
+        dir_suffix = f".{self.writer_id}"
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
@@ -91,7 +100,9 @@ class SnapshotStore:
             for n in stale:
                 try:
                     with open(os.path.join(tdir, n)) as f:
-                        doomed |= set(json.load(f))
+                        doomed |= {d for d in json.load(f)
+                                   if os.path.basename(d.rstrip("/"))
+                                   .endswith(dir_suffix)}
                 except (OSError, ValueError):
                     pass
                 os.remove(os.path.join(tdir, n))
@@ -231,6 +242,18 @@ class SnapshotStore:
         return os.path.join(
             self.root, table,
             f"r{round_id:05d}.{self.writer_id}.files.json")
+
+    def has_table(self, table: str, round_id: int) -> bool:
+        """True if ``round_id`` has a snapshot of ``table`` (a published
+        file-list — shared or this writer's staged — or a legacy round
+        dir). Lets callers distinguish 'never written' from 'written but
+        unreadable': the latter must surface, not silently degrade."""
+        if self.writer_id is not None and os.path.exists(
+                self._staged_snap_path(table, round_id)):
+            return True
+        return (os.path.exists(self._snap_path(table, round_id))
+                or os.path.isdir(os.path.join(self.root, table,
+                                              f"r{round_id:05d}")))
 
     def _snapshot_dirs(self, table: str, round_id: int) -> list[str]:
         """Data dirs composing a snapshot: this writer's staged file-list

@@ -514,3 +514,65 @@ def test_sitemap_seed_discovery(spark):
     assert {u for u, _ in got} == {"https://s.test/p1", "https://s.test/p2",
                                    "https://s.test/p3"}
     assert ("https://s.test/p1", "https://s.test/sm-a.xml") in got
+
+
+def test_sitemap_cycle_terminates_without_refetch(spark, caplog):
+    """ADVICE r4: an A<->B sitemap-index cycle must not refetch already-
+    visited sitemaps level after level — the visited anti-join drains the
+    frontier, every reachable page is collected, and NO spurious
+    'urls are MISSING' warning fires (the cycle used to exhaust
+    max_index_depth every time)."""
+    import logging
+
+    from crawler_seo_spark.sources.sitemaps import fetch_sitemap_urls
+
+    served = {
+        "https://c.test/a.xml":
+            '<sitemapindex>'
+            '<sitemap><loc>https://c.test/b.xml</loc></sitemap>'
+            '</sitemapindex>',
+        "https://c.test/b.xml":
+            '<sitemapindex>'
+            '<sitemap><loc>https://c.test/a.xml</loc></sitemap>'
+            '<sitemap><loc>https://c.test/leaf.xml</loc></sitemap>'
+            '</sitemapindex>',
+        "https://c.test/leaf.xml":
+            '<urlset><url><loc>https://c.test/p1</loc></url></urlset>',
+    }
+
+    def factory():
+        def fetch(url):
+            body = served.get(url, "")
+            return {"status_code": 200 if body else 404,
+                    "content_type": "application/xml", "final_url": url,
+                    "response_time_ms": 1.0,
+                    "content_length": len(body), "html": body,
+                    "headers": {}}
+        return fetch
+
+    locs = spark.createDataFrame([("https://c.test/a.xml",)],
+                                 "sitemap_url string")
+    with caplog.at_level(logging.WARNING,
+                         logger="crawler_seo_spark.sources.sitemaps"):
+        seeds = fetch_sitemap_urls(locs, factory, max_index_depth=2)
+        got = {r["seed_url"] for r in seeds.collect()}
+    assert got == {"https://c.test/p1"}
+    assert not [r for r in caplog.records if "MISSING" in r.message]
+
+
+def test_sitemap_doctype_guard_scans_whole_document():
+    """ADVICE r4: the billion-laughs guard used to scan only the first
+    4096 bytes — a hostile sitemap pushing the DOCTYPE past 4 KiB with
+    prolog comments still got its entities expanded. The guard must
+    refuse DTD/entity declarations anywhere in the document."""
+    from crawler_seo_spark.sources.sitemaps import parse_sitemap
+
+    padding = "<!-- " + "x" * 8192 + " -->\n"
+    bomb = (padding
+            + '<!DOCTYPE urlset [<!ENTITY a "AAAA"><!ENTITY b "&a;&a;&a;">]>'
+            + '<urlset><url><loc>https://e.test/&b;</loc></url></urlset>')
+    assert parse_sitemap(bomb) == ([], [])
+    # plain documents with big prologs still parse
+    benign = padding + \
+        '<urlset><url><loc>https://e.test/ok</loc></url></urlset>'
+    assert parse_sitemap(benign) == (["https://e.test/ok"], [])

@@ -175,3 +175,35 @@ def test_stale_staged_state_swept_on_reopen(spark, tmp_path):
     # committed round fully intact
     assert w2.read(spark, "frontier", 0).count() == 3
     assert w2.manifest()["round"] == 0
+
+
+def test_sweep_spares_committed_dirs_referenced_by_staged_lists(spark,
+                                                                tmp_path):
+    """ADVICE r4: a crashed writer's staged APPEND file-list references
+    its parent snapshot's dirs too — including legacy full-rewrite dirs
+    with no protecting .files.json. The sweep must only delete dirs this
+    writer created (basename carries the '.writer_id' suffix), never the
+    committed data the staged list happens to reference."""
+    import os
+
+    root = str(tmp_path / "store")
+    # legacy committed round: anonymous writer, unscoped dir, and strip
+    # the file-list to simulate a pre-file-list snapshot
+    anon = SnapshotStore(root)
+    anon.write("idx", _frontier(spark, range(4)), 0)
+    anon.commit_round(0, {"n": 4})
+    os.remove(anon._snap_path("idx", 0))  # legacy: dir only, no json
+    legacy_dir = os.path.join(root, "idx", "r00000")
+    assert os.path.isdir(legacy_dir)
+
+    # writer wa stages an append on top of the legacy snapshot, crashes
+    w = SnapshotStore(root, writer_id="wa")
+    w.append("idx", _frontier(spark, range(4, 6)), 1, parent_round=0)
+    staged_dir = w._table_dir("idx", 1)
+    assert os.path.isdir(staged_dir)
+    del w  # crash before commit
+
+    SnapshotStore(root, writer_id="wa")  # reopen sweeps
+    assert os.path.isdir(legacy_dir)        # committed data SURVIVES
+    assert not os.path.isdir(staged_dir)    # writer-scoped delta swept
+    assert SnapshotStore(root).read(spark, "idx", 0).count() == 4

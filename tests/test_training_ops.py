@@ -633,3 +633,151 @@ def test_span_mod_sampling_is_alignment_robust(spark):
     common = by_doc.get(0, set()) & by_doc.get(1, set())
     assert common, (len(by_doc.get(0, set())), len(by_doc.get(1, set())))
     assert not (by_doc.get(2, set()) & common)
+
+
+def test_hot_bucket_guard_caps_lsh_pairs(spark):
+    """VERDICT r4 #1: a template-degenerate corpus (thousands of docs
+    sharing every band key) must NOT make the banded self-join quadratic.
+    With max_bucket set, hot buckets take the linear STAR path: pair
+    count is n-1 per clique instead of n(n-1)/2, downstream
+    connected-components still sees ONE component, and the cap is counted
+    via the attached Observation."""
+    from crawler_seo_spark.operators.dedup import (
+        dedup_groups, lsh_candidate_pairs, minhash_signatures)
+
+    n_hot = 3000
+    rows = [(i, "identical boilerplate page body for every doc")
+            for i in range(n_hot)]
+    rows += [(n_hot + i, f"unique document number {i} with words {i * 7}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, shingle_mode="word", shingle_n=3,
+                              hash_mode="xxhash64") \
+        .localCheckpoint(eager=True)
+
+    capped = lsh_candidate_pairs(sigs, bands=8, max_bucket=100)
+    pairs = capped.collect()
+    # linear, not quadratic: the 3000-clique contributes exactly 2999
+    # star pairs (identical across bands, deduped), never ~4.5M
+    clique = [(r["id_a"], r["id_b"]) for r in pairs
+              if r["id_a"] < n_hot and r["id_b"] < n_hot]
+    assert len(clique) == n_hot - 1
+    assert all(a == 0 for a, _ in clique)  # min-id representative
+    assert len(pairs) < n_hot + 200
+
+    # connectivity preserved: CC groups the whole clique together
+    cap_df = spark.createDataFrame([(a, b) for a, b in clique],
+                                   "id_a long, id_b long")
+    groups = {r["member"]: r["group"] for r in
+              dedup_groups(cap_df).collect()}
+    assert len(groups) == n_hot and len(set(groups.values())) == 1
+
+    # the cap is observable
+    stats = capped.hot_bucket_observation.get
+    assert stats["hot_buckets"] >= 8          # one hot bucket per band
+    assert stats["hot_rows"] >= 8 * n_hot
+
+
+def test_hot_bucket_guard_default_off_and_small_equal(spark):
+    """max_bucket=None keeps exact all-pairs semantics, and a threshold
+    no bucket reaches produces the identical pair set (the guard only
+    changes behavior when a bucket actually overflows)."""
+    from crawler_seo_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, simhash_pairs)
+
+    rows = [(i, f"the quick brown fox document {i % 4} body") for i in
+            range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    base = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(sigs, bands=8).collect()}
+    high = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(sigs, bands=8, max_bucket=1000).collect()}
+    assert base == high
+
+    sbase = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(docs, max_hamming=6).collect()}
+    shigh = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(docs, max_hamming=6, max_bucket=1000).collect()}
+    assert sbase == shigh
+
+
+def test_hot_bucket_guard_incremental_index(spark, tmp_path):
+    """The incremental index side of the guard: a hot index bucket joins
+    new docs against its min-id representative only — candidates per
+    ingest stay O(batch), not O(bucket), and hot_index_bucket_stats
+    reports what the cap trims."""
+    from crawler_seo_spark.operators.incremental import SignatureIndex
+    from crawler_seo_spark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "idx"))
+    idx = SignatureIndex(store, shingle_mode="word", shingle_n=3,
+                         hash_mode="xxhash64", max_bucket=50)
+    batch1 = spark.createDataFrame(
+        [(i, "identical boilerplate page body for every doc")
+         for i in range(500)], "doc_id long, text string")
+    idx.ingest(spark, batch1)
+
+    stats = idx.hot_index_bucket_stats(spark)
+    assert stats["hot_buckets"] >= 8
+    assert stats["max_bucket_rows"] == 500
+
+    batch2 = spark.createDataFrame(
+        [(1000 + i, "identical boilerplate page body for every doc")
+         for i in range(10)], "doc_id long, text string")
+    pairs = idx.ingest(spark, batch2).collect()
+    # each new doc pairs with the index representative (id 0) and the
+    # other new docs — never with all 500 hot-bucket members
+    cross = [(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] < 1000]
+    assert len(cross) == len(set(cross))  # distinct pairs
+    assert {a for a, _ in cross} == {0}
+    assert len(pairs) <= 10 + 45  # 10 rep links + new×new pairs
+
+
+def test_span_rolling_selector_alignment_robust_and_proportional(spark):
+    """VERDICT r4 #2: the production 'rolling' selector — numpy
+    Rabin-Karp selection, md5 only on selected windows. Must be
+    content-defined (same windows selected in both copies of a shared
+    run wherever it sits), emit true window md5s (verifiable), and
+    sample at ~1/mod density (compute proportional to 1/mod, since md5
+    now runs only on selections)."""
+    import hashlib
+
+    from crawler_seo_spark.operators.paragraph import span_occurrences
+
+    shared = ("repeated boilerplate content block that appears in many "
+              "documents of the corpus with enough length to guarantee "
+              "that at least one content selected window lands inside "
+              "this long run of identical characters across copies")
+    docs = spark.createDataFrame(
+        [(0, shared + " tail zero"),
+         (1, "offset! " + shared),  # unaligned copy
+         (2, "entirely unrelated text without any repetition at all")],
+        "doc_id long, text string")
+    occ = span_occurrences(docs, width=40, sample_mod=4,
+                           selector="rolling").collect()
+    by_doc = {}
+    for r in occ:
+        by_doc.setdefault(r["doc_id"], set()).add(r["span_hash"])
+    common = by_doc.get(0, set()) & by_doc.get(1, set())
+    assert common
+    assert not (by_doc.get(2, set()) & common)
+
+    # emitted hashes are REAL window md5s of the normalized text
+    from crawler_seo_spark.operators.dedup import normalized_text_col
+    norm = {r["doc_id"]: r["t"] for r in docs.select(
+        "doc_id", normalized_text_col(F.col("text")).alias("t")).collect()}
+    for r in occ:
+        w = norm[r["doc_id"]][r["pos"] - 1:r["pos"] - 1 + 40]
+        assert hashlib.md5(w.encode()).hexdigest() == r["span_hash"]
+
+    # density ~1/mod on a long pseudo-random doc
+    import random
+    rnd = random.Random(7)
+    long_doc = "".join(rnd.choice("abcdefgh ij") for _ in range(20000))
+    big = spark.createDataFrame([(0, long_doc)], "doc_id long, text string")
+    for mod in (4, 16):
+        n_sel = span_occurrences(big, width=40, sample_mod=mod,
+                                 selector="rolling").count()
+        n_win = len(long_doc) - 39  # normalization keeps single spaces
+        assert abs(n_sel / n_win - 1 / mod) < 0.35 / mod, (mod, n_sel)
