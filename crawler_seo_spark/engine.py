@@ -434,6 +434,14 @@ class CrawlEngine:
         aborts its staged round and rebases onto the winner's state."""
         cfg = self.config
         cooperative = self.store is not None and cfg.writer_id is not None
+        if cooperative:
+            # cross-writer politeness budget: every cooperative writer
+            # redundantly fetches the round, so each schedules at
+            # rps/n_registered — the COMBINED per-host rate stays within
+            # the single-writer budget. Registration precedes the first
+            # fetch; the registry persists (a dead writer keeps its slot,
+            # which only makes the combined rate more conservative).
+            self.store.register_writer()
         results_parts: list[DataFrame] = []
         filtered_parts: list[DataFrame] = []
         rounds: list[dict] = []
@@ -575,13 +583,21 @@ class CrawlEngine:
                                .select("host",
                                        F.col("crawl_delay")
                                        .alias("crawl_delay_s")))
-            if cfg.requests_per_second >= 1e8 and host_delays is None:
+            eff_rps = cfg.requests_per_second
+            if cooperative:
+                # rps split across registered writers (see run() preamble);
+                # re-read per round so a writer joining mid-crawl tightens
+                # the split from the next round boundary
+                n_w = len(self.store.registered_writers())
+                if n_w > 1:
+                    eff_rps = cfg.requests_per_second / n_w
+            if eff_rps >= 1e8 and host_delays is None:
                 from .operators.politeness import with_host
                 batch = (with_host(batch)
                          .withColumn("fetch_slot", F.lit(0).cast("long"))
                          .withColumn("scheduled_offset_ms", F.lit(0.0)))
             else:
-                batch = schedule_fetches(batch, cfg.requests_per_second,
+                batch = schedule_fetches(batch, eff_rps,
                                          host_delays=host_delays)
 
             # --- J4: salted host repartition — one hot host's fetches spread

@@ -52,7 +52,8 @@ class _IncrementalIndex:
     def __init__(self, store: SnapshotStore, table: str,
                  id_col: str, text_col: str,
                  broadcast_new: bool = True,
-                 max_bucket: int | None = None) -> None:
+                 max_bucket: int | None = None,
+                 compact_every: int | None = 16) -> None:
         self.store = store
         self.table = table
         self.id_col = id_col
@@ -62,6 +63,12 @@ class _IncrementalIndex:
         # docs against their min-id REPRESENTATIVE only (linear, not
         # O(bucket) candidates per new doc). None = exact (oracle parity).
         self.max_bucket = max_bucket
+        # snapshot compaction cadence: once a committed snapshot lists
+        # this many data dirs, ingest consolidates them into one base dir
+        # (amortized one table rewrite per `compact_every` appends) so a
+        # long-lived index's file-list stays O(compact_every), not
+        # O(rounds). None = never compact.
+        self.compact_every = compact_every
 
     def committed_round(self) -> int | None:
         m = self.store.manifest()
@@ -94,6 +101,13 @@ class _IncrementalIndex:
                               parent_round=prev_round)
             try:
                 self.store.commit_round(rid, counters)
+                if (self.compact_every is not None
+                        and len(self.store._snapshot_dirs(
+                            self.table, rid)) >= self.compact_every):
+                    # superseded dirs stay on disk (historical snapshots
+                    # reference them), so `result`'s lazy reads of the
+                    # pre-compaction list remain valid
+                    self.store.compact(rows.sparkSession, self.table, rid)
                 return result
             except ConcurrentCommitError:
                 if self.store.writer_id is None or round_id is not None:
@@ -151,10 +165,14 @@ class _IncrementalIndex:
         (e.g. a restarted streaming epoch whose pairs write never
         completed). The round's delta rows are its snapshot's data dirs
         minus the parent snapshot's."""
-        dirs = set(self.store._snapshot_dirs(self.table, round_id))
-        if round_id > 0:
-            dirs -= set(self.store._snapshot_dirs(self.table,
-                                                  round_id - 1))
+        delta = self.store.snapshot_delta(self.table, round_id)
+        if delta is not None:
+            dirs = set(delta)
+        else:  # pre-delta-record snapshot: parent set difference
+            dirs = set(self.store._snapshot_dirs(self.table, round_id))
+            if round_id > 0:
+                dirs -= set(self.store._snapshot_dirs(self.table,
+                                                      round_id - 1))
         new_sigs = spark.read.parquet(*sorted(dirs))
         return self._derive_pairs(
             spark, new_sigs, round_id - 1 if round_id > 0 else None)
@@ -227,19 +245,21 @@ class SignatureIndex(_IncrementalIndex):
 
     def __init__(self, store: SnapshotStore, table: str = "signatures",
                  id_col: str = "doc_id", text_col: str = "text",
-                 k: int = 32, bands: int = 8, shingle_n: int = 5,
-                 shingle_mode: str = "char", hash_mode: str = "md5",
+                 k: int = 32, bands: int = 8, shingle_n: int = 3,
+                 shingle_mode: str = "word", hash_mode: str = "xxhash64",
                  impl: str = "arrow", seed: int = 42,
                  broadcast_new: bool = True,
-                 max_bucket: int | None = None) -> None:
-        # defaults are ORACLE-PARITY (char shingles, md5 — reproducible in
-        # DuckDB); production ingest wants shingle_mode="word", shingle_n=3,
-        # hash_mode="xxhash64": char-5 shingling pays interpreted-lambda
-        # substring+hash per character (~60x slower, measured) and
-        # over-collides on low-vocabulary corpora
+                 max_bucket: int | None = None,
+                 compact_every: int | None = 16) -> None:
+        # defaults are PRODUCTION (word-3 shingles, xxhash64 — r4 verdict
+        # #7: char-5 shingling pays interpreted-lambda substring+hash per
+        # character, ~60x slower measured, and over-collides on
+        # low-vocabulary corpora). The DuckDB-reproducible configuration
+        # (char shingles, md5) is the explicit :meth:`oracle_parity`
+        # constructor — oracle queries pin it; users get the fast config.
         assert k % bands == 0, "k must divide into equal bands"
         super().__init__(store, table, id_col, text_col, broadcast_new,
-                         max_bucket)
+                         max_bucket, compact_every)
         self.k = k
         self.bands = bands
         self.shingle_n = shingle_n
@@ -247,6 +267,17 @@ class SignatureIndex(_IncrementalIndex):
         self.hash_mode = hash_mode
         self.impl = impl
         self.seed = seed
+
+    @classmethod
+    def oracle_parity(cls, store: SnapshotStore, **kw) -> "SignatureIndex":
+        """The cross-engine-reproducible configuration (char-5 shingles,
+        md5 — byte-identical in DuckDB SQL): the driver's oracle queries
+        pin this; it is ~60× slower than the production default and exists
+        for verification, not ingest throughput."""
+        kw.setdefault("shingle_mode", "char")
+        kw.setdefault("shingle_n", 5)
+        kw.setdefault("hash_mode", "md5")
+        return cls(store, **kw)
 
     def _signatures(self, docs: DataFrame) -> DataFrame:
         return minhash_signatures(
@@ -306,12 +337,13 @@ class SimHashIndex(_IncrementalIndex):
                  bits: int = 32, band_bits: int = 8, max_hamming: int = 3,
                  hash_mode: str = "md5",
                  broadcast_new: bool = True,
-                 max_bucket: int | None = None) -> None:
+                 max_bucket: int | None = None,
+                 compact_every: int | None = 16) -> None:
         assert bits % band_bits == 0
         assert max_hamming < bits // band_bits, \
             "pigeonhole needs max_hamming < n_bands"
         super().__init__(store, table, id_col, text_col, broadcast_new,
-                         max_bucket)
+                         max_bucket, compact_every)
         self.bits = bits
         self.band_bits = band_bits
         self.max_hamming = max_hamming
@@ -391,9 +423,11 @@ class ParagraphIndex(_IncrementalIndex):
 
     def __init__(self, store: SnapshotStore, table: str = "paragraphs",
                  id_col: str = "doc_id", text_col: str = "text",
-                 delimiter: str | None = None) -> None:
+                 delimiter: str | None = None,
+                 compact_every: int | None = 16) -> None:
         from .paragraph import PARA_DELIM
-        super().__init__(store, table, id_col, text_col)
+        super().__init__(store, table, id_col, text_col,
+                         compact_every=compact_every)
         self.delimiter = PARA_DELIM if delimiter is None else delimiter
 
     def index(self, spark: SparkSession) -> DataFrame | None:
@@ -442,23 +476,52 @@ class EmbeddingIndex(_IncrementalIndex):
     planes are fixed at index construction, so every batch buckets
     identically). Candidates are bucket-equal pairs, verified exactly
     with the JVM cosine (rounded to 6 dp) against ``threshold`` — recall
-    follows the bucketing (same-bucket ⇒ compared), and the incremental
-    pair union equals the full-corpus blocked recompute
-    (``embedding_near_duplicates(block_col="bucket")``) exactly."""
+    follows the bucketing (same-bucket ⇒ compared), and with
+    ``multiprobe=0`` the incremental pair union equals the full-corpus
+    blocked recompute (``embedding_near_duplicates(block_col="bucket")``)
+    exactly.
+
+    SIZING (r4 verdict #5): bucket population grows O(corpus / 2^planes)
+    — at 10^9 rows the 6-plane default would put ~10^7 vectors per
+    bucket. Derive ``n_planes`` from a target bucket size with
+    :meth:`planes_for` (``⌈log2(corpus / target_bucket)⌉``). The
+    recall/cost trade: each extra plane halves expected bucket size
+    (candidate cost) but adds one more hyperplane a true near-pair can
+    straddle — for cosine ≥ t, a single-plane split happens with
+    probability ``n_planes · arccos(t)/π`` (≈ 0.10·n_planes at t=0.95),
+    so deeper bucketing wants ``multiprobe=1``: every NEW doc also probes
+    the ``n_planes`` buckets at Hamming distance 1 (one sign flip),
+    recovering exactly the single-plane-straddle misses for an
+    (n_planes+1)× candidate-join fan-out on the (small, broadcast) new
+    side only. Exact cosine verification is unchanged, so multi-probe
+    affects recall, never precision."""
 
     def __init__(self, store: SnapshotStore, dim: int,
                  table: str = "embeddings_idx", id_col: str = "vec_id",
                  vec_col: str = "embedding", n_planes: int = 6,
                  seed: int = 42, threshold: float = 0.95,
                  broadcast_new: bool = True,
-                 max_bucket: int | None = None) -> None:
+                 max_bucket: int | None = None,
+                 compact_every: int | None = 16,
+                 multiprobe: int = 0) -> None:
+        assert multiprobe in (0, 1), "multiprobe: 0 (off) or 1 (±1 bit)"
         super().__init__(store, table, id_col, vec_col, broadcast_new,
-                         max_bucket)
+                         max_bucket, compact_every)
         from .similarity import hyperplanes
         self.vec_col = vec_col
         self.n_planes = n_planes
         self.threshold = threshold
+        self.multiprobe = multiprobe
         self.planes = hyperplanes(dim, n_planes, seed)
+
+    @staticmethod
+    def planes_for(corpus_size: int, target_bucket: int = 4096) -> int:
+        """``n_planes`` that keeps expected bucket population near
+        ``target_bucket`` at ``corpus_size`` rows: ⌈log2(corpus/target)⌉,
+        min 1. E.g. 10^9 rows / target 4096 → 18 planes (2^18 buckets)."""
+        import math
+        return max(1, math.ceil(math.log2(max(corpus_size
+                                              / max(target_bucket, 1), 2))))
 
     def _signatures(self, docs: DataFrame) -> DataFrame:
         from .similarity import _bucket_udf
@@ -466,15 +529,30 @@ class EmbeddingIndex(_IncrementalIndex):
         return docs.select(F.col(self.id_col), F.col(self.vec_col),
                            bucket(F.col(self.vec_col)).alias("bucket"))
 
+    def _with_probes(self, new_sigs: DataFrame) -> DataFrame:
+        """Explode the NEW side over its probe buckets: the own bucket
+        plus (multiprobe=1) every one-bit flip. The fan-out rides the
+        small broadcast side; the index side never expands."""
+        if not self.multiprobe:
+            return new_sigs.withColumn("_probe", F.col("bucket"))
+        probes = F.array(F.col("bucket"),
+                         *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                           for j in range(self.n_planes)])
+        return new_sigs.withColumn("_probe", F.explode(probes))
+
     def _pairs_between(self, left: DataFrame, right: DataFrame,
                        strict_less: bool) -> DataFrame:
+        """Candidate pairs: ``left.bucket`` matched against the NEW
+        (right) side's probe buckets — with multiprobe off that is plain
+        bucket equality; bit-flip symmetry makes one-sided probing cover
+        both directions of a Hamming-1 split."""
         from .similarity import cosine_col
         idc = self.id_col
         cond = (F.col(f"l.{idc}") < F.col(f"r.{idc}") if strict_less
                 else F.col(f"l.{idc}") != F.col(f"r.{idc}"))
         return (left.alias("l")
                 .join(right.alias("r"),
-                      (F.col("l.bucket") == F.col("r.bucket")) & cond)
+                      (F.col("l.bucket") == F.col("r._probe")) & cond)
                 .select(F.least(F.col(f"l.{idc}"),
                                 F.col(f"r.{idc}")).alias("id_a"),
                         F.greatest(F.col(f"l.{idc}"),
@@ -486,15 +564,16 @@ class EmbeddingIndex(_IncrementalIndex):
 
     def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
                       prev_round: int | None) -> DataFrame:
+        probed = self._with_probes(new_sigs)
         pairs = self._pairs_between(new_sigs,
-                                    self._maybe_broadcast(new_sigs),
+                                    self._maybe_broadcast(probed),
                                     strict_less=True)
         if prev_round is not None:
             index = self._trim_hot_index_buckets(
                 self.store.read(spark, self.table, prev_round),
                 ("bucket",))
             pairs = pairs.unionByName(self._pairs_between(
-                index, self._maybe_broadcast(new_sigs),
+                index, self._maybe_broadcast(probed),
                 strict_less=False))
         return pairs.distinct()
 

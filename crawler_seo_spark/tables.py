@@ -99,10 +99,11 @@ class SnapshotStore:
             doomed: set[str] = set()
             for n in stale:
                 try:
-                    with open(os.path.join(tdir, n)) as f:
-                        doomed |= {d for d in json.load(f)
-                                   if os.path.basename(d.rstrip("/"))
-                                   .endswith(dir_suffix)}
+                    dirs = self._load_snapshot_payload(
+                        os.path.join(tdir, n))["dirs"]
+                    doomed |= {d for d in dirs
+                               if os.path.basename(d.rstrip("/"))
+                               .endswith(dir_suffix)}
                 except (OSError, ValueError):
                     pass
                 os.remove(os.path.join(tdir, n))
@@ -110,8 +111,8 @@ class SnapshotStore:
             for n in os.listdir(tdir):
                 if n.endswith(".files.json"):
                     try:
-                        with open(os.path.join(tdir, n)) as f:
-                            referenced |= set(json.load(f))
+                        referenced |= set(self._load_snapshot_payload(
+                            os.path.join(tdir, n))["dirs"])
                     except (OSError, ValueError):
                         pass
             for d in doomed - referenced:
@@ -205,10 +206,37 @@ class SnapshotStore:
         — each round's write overwrites its own dir, and unreferenced dirs
         are garbage exactly as after a rollback."""
         shutil.rmtree(os.path.join(self.root, "rounds"), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, "writers"),
+                      ignore_errors=True)
         try:
             os.remove(self._manifest_path)
         except FileNotFoundError:
             pass
+
+    # -- cooperative-writer registry ---------------------------------------
+    def register_writer(self, writer_id: str | None = None) -> None:
+        """Record a cooperative writer in the shared registry (one marker
+        file per id — no read-modify-write contention). The registry
+        divides the politeness budget: each of n registered writers
+        schedules at ``rps/n`` so the COMBINED per-host request rate stays
+        within the budget a single writer honors (r4 verdict #3 — without
+        this, two writers redundantly fetching the same round double every
+        host's load). Registration is persistent: a crashed writer stays
+        counted (its rejoining self re-registers idempotently), keeping
+        the combined rate conservative — never above budget."""
+        wid = writer_id or self.writer_id
+        d = os.path.join(self.root, "writers")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, f"{wid}.writer"), "w").close()
+
+    def registered_writers(self) -> list[str]:
+        try:
+            return sorted(n[:-len(".writer")]
+                          for n in os.listdir(os.path.join(self.root,
+                                                           "writers"))
+                          if n.endswith(".writer"))
+        except FileNotFoundError:
+            return []
 
     def rollback(self, round_id: int) -> None:
         """Reset the committed state to ``round_id`` (crash simulation /
@@ -255,25 +283,51 @@ class SnapshotStore:
                 or os.path.isdir(os.path.join(self.root, table,
                                               f"r{round_id:05d}")))
 
-    def _snapshot_dirs(self, table: str, round_id: int) -> list[str]:
-        """Data dirs composing a snapshot: this writer's staged file-list
-        if one exists (uncommitted reads-own-writes), else the shared
-        (committed) file-list, else the legacy unscoped round dir
-        (full-rewrite snapshots from before append/staging support)."""
+    @staticmethod
+    def _load_snapshot_payload(path: str) -> dict:
+        """File-list payloads are a plain dir list (legacy) or a dict
+        ``{"dirs": [...], "delta": [...]}`` — the delta records which of
+        the dirs are THIS round's appended data, so the round's
+        incremental contribution stays recoverable after a compaction
+        rewrites the cumulative dir list (set-difference against the
+        parent's dirs stops working across that boundary)."""
+        with open(path) as f:
+            payload = json.load(f)
+        if isinstance(payload, list):
+            return {"dirs": payload, "delta": None}
+        return payload
+
+    def _snapshot_payload(self, table: str, round_id: int) -> dict:
+        """Payload for a snapshot: this writer's staged file-list if one
+        exists (uncommitted reads-own-writes), else the shared (committed)
+        file-list, else the legacy unscoped round dir (full-rewrite
+        snapshots from before append/staging support)."""
         if self.writer_id is not None:
             try:
-                with open(self._staged_snap_path(table, round_id)) as f:
-                    return json.load(f)
+                return self._load_snapshot_payload(
+                    self._staged_snap_path(table, round_id))
             except FileNotFoundError:
                 pass
         try:
-            with open(self._snap_path(table, round_id)) as f:
-                return json.load(f)
+            return self._load_snapshot_payload(
+                self._snap_path(table, round_id))
         except FileNotFoundError:
-            return [os.path.join(self.root, table, f"r{round_id:05d}")]
+            return {"dirs": [os.path.join(self.root, table,
+                                          f"r{round_id:05d}")],
+                    "delta": None}
+
+    def _snapshot_dirs(self, table: str, round_id: int) -> list[str]:
+        return self._snapshot_payload(table, round_id)["dirs"]
+
+    def snapshot_delta(self, table: str, round_id: int) -> list[str] | None:
+        """The data dirs appended BY ``round_id`` itself (None for
+        snapshots that predate delta recording — callers fall back to the
+        set difference against the parent's dirs)."""
+        return self._snapshot_payload(table, round_id)["delta"]
 
     def _publish_snapshot(self, table: str, round_id: int,
-                          dirs: list[str]) -> None:
+                          dirs: list[str],
+                          delta: list[str] | None = None) -> None:
         """Writer-scoped stores stage the file-list; anonymous stores
         publish it shared immediately (single-writer fast path)."""
         if self.writer_id is not None:
@@ -283,7 +337,8 @@ class SnapshotStore:
             path = self._snap_path(table, round_id)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(dirs, f)
+            json.dump(dirs if delta is None
+                      else {"dirs": dirs, "delta": delta}, f)
         os.replace(tmp, path)
 
     def _write_delta(self, table: str, df: DataFrame, round_id: int) -> str:
@@ -325,7 +380,66 @@ class SnapshotStore:
             parent_dirs = [d for d in self._snapshot_dirs(table, parent_round)
                            if os.path.isdir(d)]
         delta = self._write_delta(table, df, round_id)
-        self._publish_snapshot(table, round_id, parent_dirs + [delta])
+        self._publish_snapshot(table, round_id, parent_dirs + [delta],
+                               delta=[delta])
+
+    def compact(self, spark: SparkSession, table: str,
+                round_id: int | None = None) -> list[str]:
+        """Snapshot-manifest COMPACTION (Iceberg rewrite_data_files /
+        manifest-rewrite analog, r4 verdict #4): fast-append rounds
+        accumulate one data dir per round, so reading the index at round
+        N lists O(N) dirs — at 10^4 ingest rounds the scan file-list and
+        every subsequent round's payload are O(rounds). Compaction
+        rewrites the snapshot's non-delta dirs into ONE consolidated base
+        dir and republishes the round's file-list as
+        ``[base] + delta`` — subsequent appends chain off the short list,
+        so reads between compactions list O(rounds-since-compaction)
+        dirs.
+
+        Crash-safe and concurrent-reader-safe: the base lands via
+        write-tmp + rename, the file-list swap is the usual tmp +
+        ``os.replace``, and the superseded per-round dirs are NOT deleted
+        — historical rounds' file-lists still reference them (time travel
+        and :meth:`~...incremental._IncrementalIndex.replay_pairs` for
+        pre-compaction rounds keep working), and any in-flight reader
+        holding the old list still finds its files. The round's OWN delta
+        dirs stay out of the base, so its delta record survives verbatim.
+        Cost: one read+write of the table — amortize by compacting every
+        K appends (``_IncrementalIndex.compact_every``). Returns the new
+        dir list."""
+        if round_id is None:
+            round_id = self.manifest()["round"]
+        # compaction operates on COMMITTED state only — never a staged
+        # (uncommitted) list, whatever this store's writer_id
+        try:
+            payload = self._load_snapshot_payload(
+                self._snap_path(table, round_id))
+        except FileNotFoundError:
+            return []  # nothing committed for this round/table
+        delta = payload["delta"] or []
+        base_src = [d for d in payload["dirs"] if d not in set(delta)
+                    and os.path.isdir(d)]
+        if len(base_src) <= 1:
+            return payload["dirs"]  # already compact
+        tdir = os.path.join(self.root, table)
+        gen = len([n for n in os.listdir(tdir) if ".compact" in n])
+        suffix = f".{self.writer_id}" if self.writer_id else ""
+        base = os.path.join(tdir, f"r{round_id:05d}.compact{gen}{suffix}")
+        tmp = base + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(*base_src).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, base)
+        dirs = [base] + [d for d in payload["dirs"] if d in set(delta)]
+        # compaction rewrites COMMITTED state: publish to the shared
+        # file-list directly (never staged — there is no commit race to
+        # arbitrate, the logical content is unchanged; concurrent
+        # compactors last-write-win equivalent lists)
+        path = self._snap_path(table, round_id)
+        ltmp = path + ".tmp"
+        with open(ltmp, "w") as f:
+            json.dump({"dirs": dirs, "delta": payload["delta"]}, f)
+        os.replace(ltmp, path)
+        return dirs
 
     def read(self, spark: SparkSession, table: str, round_id: int) -> DataFrame:
         return spark.read.parquet(*self._snapshot_dirs(table, round_id))

@@ -288,3 +288,56 @@ def test_resume_corrupt_robots_snapshot_raises(spark):
     with pytest.raises(Exception):
         CrawlEngine(spark, None, cfg,
                     fetch_fn_factory=factory).run(resume=True)
+
+
+def test_cooperative_writers_split_politeness_budget(spark):
+    """VERDICT r4 #3: cooperative writers each redundantly fetch the
+    round, so each must schedule at rps/n_registered — the COMBINED
+    per-host request rate stays within the single-writer budget. With two
+    registered writers and rps=10, each writer's per-host schedule must
+    space consecutive fetches >= 200 ms (2/rps), i.e. each honors half
+    the budget."""
+    from collections import defaultdict
+
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL as DOC_SEED, live_fetch_factory)
+
+    ckpt = tempfile.mkdtemp(prefix="coop_rps_")
+    store = SnapshotStore(ckpt, writer_id="wb")
+    store.register_writer()            # peer registered before wa starts
+
+    cfg = CrawlConfig(seed_url=DOC_SEED, max_urls=45, batch_size=15,
+                      requests_per_second=10.0, checkpoint_dir=ckpt,
+                      writer_id="wa")
+    st = CrawlEngine(spark, None, cfg,
+                     fetch_fn_factory=live_fetch_factory(150)).run()
+
+    assert sorted(SnapshotStore(ckpt).registered_writers()) == ["wa", "wb"]
+    rows = st.results.select("url", "round",
+                             "scheduled_offset_ms").collect()
+    from urllib.parse import urlparse
+    per_host = defaultdict(list)
+    for r in rows:
+        per_host[(r["round"], urlparse(r["url"]).netloc)].append(
+            r["scheduled_offset_ms"])
+    multi = 0
+    for offs in per_host.values():
+        offs.sort()
+        for a, b in zip(offs, offs[1:]):
+            multi += 1
+            assert b - a >= 200.0 - 1e-6, (a, b)  # 2/rps seconds apart
+    assert multi > 0  # some host actually had >1 fetch in a round
+
+    # single registered writer ⇒ full budget (100 ms spacing)
+    ckpt2 = tempfile.mkdtemp(prefix="solo_rps_")
+    cfg2 = CrawlConfig(seed_url=DOC_SEED, max_urls=30, batch_size=15,
+                       requests_per_second=10.0, checkpoint_dir=ckpt2,
+                       writer_id="wa")
+    st2 = CrawlEngine(spark, None, cfg2,
+                      fetch_fn_factory=live_fetch_factory(150)).run()
+    offs2 = sorted(r["scheduled_offset_ms"]
+                   for r in st2.results.select("url", "round",
+                                               "scheduled_offset_ms")
+                   .filter("round = 1").collect())
+    gaps = {round(b - a, 3) for a, b in zip(offs2, offs2[1:])}
+    assert min(gaps) < 200.0  # full budget, not halved
