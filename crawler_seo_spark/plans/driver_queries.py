@@ -833,6 +833,82 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(base, threshold=0.6)
 
 
+def _capped_lsh_sql(k: int, bands: int, cap: int) -> str:
+    """Banded-MinHash pairs WITH the hot-bucket star guard, in DuckDB —
+    the oracle for ``lsh_candidate_pairs(max_bucket=cap)`` on a
+    template-degenerate corpus (every even doc shares doc 0's text, so
+    half the corpus collides on every band key). Buckets at or under the
+    cap self-join all-pairs; hot buckets emit only (min-id, member) star
+    pairs — the exact semantics of guarded_band_pairs."""
+    from ..operators.dedup import MERSENNE31, minhash_params
+    params = minhash_params(k)
+    norm = (r"trim(regexp_replace(regexp_replace(lower(text), "
+            r"'[^\p{L}\p{N}]+', ' ', 'g'), '\s+', ' ', 'g'))")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hh, h -> ({a} * h + {b}) % "
+        f"{MERSENNE31}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    rpb = k // bands
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS key FROM sig"
+        for b in range(bands))
+    return f"""
+WITH base AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id % 2 = 0 THEN z.text ELSE a.text END AS text
+  FROM documents a CROSS JOIN (SELECT text FROM documents
+                               WHERE doc_id = 0) z
+  WHERE a.doc_id < 100),
+norm AS (SELECT doc_id, {norm} AS t FROM base),
+sh AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                       i -> substr(t, i::INT, 5)) AS shingles
+       FROM norm),
+hs AS (SELECT doc_id,
+        list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                            % {MERSENNE31}) AS hh
+       FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM hs),
+banded AS ({band_rows}),
+counted AS (SELECT band, key, count(*) AS bn, min(doc_id) AS rep
+            FROM banded GROUP BY band, key),
+normal AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  JOIN counted c ON c.band = l.band AND c.key = l.key
+  WHERE c.bn <= {cap}),
+star AS (
+  SELECT c.rep AS id_a, b.doc_id AS id_b
+  FROM banded b JOIN counted c ON c.band = b.band AND c.key = b.key
+  WHERE c.bn > {cap} AND b.doc_id <> c.rep)
+SELECT DISTINCT id_a, id_b FROM normal
+UNION
+SELECT DISTINCT id_a, id_b FROM star
+"""
+
+
+@q("d_lsh_capped_pairs", _capped_lsh_sql(8, 4, 20))
+def d_lsh_capped_pairs(spark, sf_dir):
+    """Hot-bucket-guarded LSH pairs (r5): a template-degenerate corpus —
+    every even doc carries doc 0's text, a 50-doc clique colliding on
+    every band key — goes through ``lsh_candidate_pairs`` with
+    ``max_bucket=20``. The clique's buckets exceed the cap and take the
+    linear star path ((0, member) pairs); odd docs keep exact all-pairs
+    semantics. The oracle states the identical cap semantics in SQL."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    d = _t(spark, sf_dir, "documents")
+    z = d.filter("doc_id = 0").select(F.col("text").alias("_z"))
+    base = (d.filter("doc_id < 100").crossJoin(F.broadcast(z))
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 2 == 0, F.col("_z"))
+                    .otherwise(F.col("text")).alias("text")))
+    sigs = minhash_signatures(base, k=8)
+    return lsh_candidate_pairs(sigs, bands=4, max_bucket=20)
+
+
 def _incremental_lsh_sql(k: int, bands: int) -> str:
     """Full-corpus banded-MinHash pair set in DuckDB — the oracle for the
     incremental two-batch ingest, whose pair union must equal it. Band keys

@@ -441,6 +441,54 @@ class SnapshotStore:
         os.replace(ltmp, path)
         return dirs
 
+    def expire_snapshots(self, table: str, before_round: int) -> list[str]:
+        """Iceberg expire_snapshots analog: drop the file-lists of rounds
+        < ``before_round`` and delete data dirs no REMAINING file-list
+        references. Time travel and replay below the horizon are gone by
+        definition; the current snapshot (and any staged state) is never
+        touched because its file-list still references its dirs. Returns
+        the deleted dirs. Run it after :meth:`compact` — superseded
+        per-round delta dirs become unreferenced once the historical
+        lists that pointed at them expire."""
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return []
+        for n in os.listdir(tdir):
+            if not n.endswith(".files.json"):
+                continue
+            try:
+                rid = int(n.removeprefix("r").split(".")[0])
+            except ValueError:
+                continue
+            if rid < before_round:
+                os.remove(os.path.join(tdir, n))
+        referenced: set[str] = set()
+        for n in os.listdir(tdir):
+            if n.endswith(".files.json"):
+                try:
+                    referenced |= {
+                        os.path.basename(d.rstrip("/"))
+                        for d in self._load_snapshot_payload(
+                            os.path.join(tdir, n))["dirs"]}
+                except (OSError, ValueError):
+                    pass
+        deleted = []
+        for n in os.listdir(tdir):
+            full = os.path.join(tdir, n)
+            if (os.path.isdir(full) and n not in referenced
+                    and not n.endswith("_tmp")):
+                # legacy (pre-file-list) rounds have no list; only delete
+                # dirs for rounds below the horizon
+                try:
+                    rid = int(n.removeprefix("r").split(".")[0]
+                              .split("_")[0])
+                except ValueError:
+                    continue
+                if rid < before_round:
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(full)
+        return deleted
+
     def read(self, spark: SparkSession, table: str, round_id: int) -> DataFrame:
         return spark.read.parquet(*self._snapshot_dirs(table, round_id))
 
