@@ -131,11 +131,12 @@ def main() -> None:
     timed("d_paragraph_stats_full", lambda: force(paragraph_stats(para_docs)))
 
     from crawler_seo_spark.operators.paragraph import repeated_span_stats
-    # production selector: vectorized rolling-fingerprint selection, md5
-    # only on the ~1/mod selected windows (r4 verdict #2 — the md5
-    # selector paid a Python md5 for EVERY window even in sampled mode
-    # and is kept solely for the DuckDB oracle queries). mod32 alongside
-    # mod8 pins compute ∝ 1/mod, not corpus chars.
+    # production selector: the vectorized rolling fingerprint both
+    # selects the ~1/mod windows AND is the emitted hash — zero
+    # per-window Python (r4 verdict #2; the md5 selector paid a Python
+    # md5 for EVERY window even in sampled mode and is kept solely for
+    # the DuckDB oracle queries). mod32 alongside mod8 pins compute
+    # ∝ 1/mod, not corpus chars.
     timed("d_repeated_spans_mod8_full",
           lambda: force(repeated_span_stats(docs, width=40, sample_mod=8,
                                             selector="rolling")))

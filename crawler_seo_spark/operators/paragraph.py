@@ -196,15 +196,16 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
       pays a Python-loop md5 for EVERY stride-1 window even in sampled
       mode (selection needs the digest).
     * ``"rolling"`` (PRODUCTION): a vectorized numpy Rabin-Karp rolling
-      fingerprint over the code-point array selects windows (one O(n)
-      numpy pass, no per-window Python), then md5 runs ONLY on the
-      ~n/mod selected windows — sampled-mode compute proportional to
-      1/mod, exactly what content-defined selection is for. Emitted
-      hashes are still window md5s, so repeat detection across documents
-      is identical in kind; only WHICH windows are sampled differs from
-      the md5 selector (both are deterministic functions of window
-      content). Not expressible in DuckDB — oracle queries pin
-      ``selector="md5"``.
+      fingerprint over the code-point array both SELECTS the ~n/mod
+      windows and IS the emitted ``span_hash`` (``"r" + decimal`` of the
+      mixed 64-bit hash — the prefix keeps it disjoint from md5 hex) —
+      zero per-window Python, the whole kernel is numpy passes. Repeat
+      detection across documents is identical in kind (equal window
+      content ⇔ equal fingerprint); the 64-bit space makes a corpus-wide
+      false collision negligible for stats (birthday bound ≈ 3% at 10^9
+      windows for ONE colliding pair — irrelevant to threshold-style
+      repeat ratios; use the md5 selector where exactness matters). Not
+      expressible in DuckDB — oracle queries pin ``selector="md5"``.
 
     Kernel: normalization runs ONCE per document JVM-side, then an Arrow
     pandas UDF hashes the windows (hashlib md5 — byte-identical to
@@ -243,11 +244,10 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                 h64 = _rolling_window_hashes(cp, width)
                 sel = np.nonzero(h64 % np.uint64(sample_mod)
                                  == np.uint64(0))[0]
-                out.append([
-                    {"pos": int(p) + 1,
-                     "h": hashlib.md5(
-                         t[p:p + width].encode()).hexdigest()}
-                    for p in sel])
+                # vectorized fingerprint strings: 'r' + decimal uint64
+                hs = np.char.add("r", h64[sel].astype("U20"))
+                out.append([{"pos": int(p) + 1, "h": h}
+                            for p, h in zip(sel, hs)])
                 continue
             upper = max(len(t) - (width - 1), 1)
             lst = []

@@ -736,14 +736,12 @@ def test_hot_bucket_guard_incremental_index(spark, tmp_path):
 
 def test_span_rolling_selector_alignment_robust_and_proportional(spark):
     """VERDICT r4 #2: the production 'rolling' selector — numpy
-    Rabin-Karp selection, md5 only on selected windows. Must be
-    content-defined (same windows selected in both copies of a shared
-    run wherever it sits), emit true window md5s (verifiable), and
-    sample at ~1/mod density (compute proportional to 1/mod, since md5
-    now runs only on selections)."""
-    import hashlib
-
-    from crawler_seo_spark.operators.paragraph import span_occurrences
+    Rabin-Karp fingerprints both select the ~1/mod windows AND are the
+    emitted span_hash (zero per-window Python). Must be content-defined
+    (same windows selected AND same fingerprints in both copies of a
+    shared run wherever it sits) and sample at ~1/mod density."""
+    from crawler_seo_spark.operators.paragraph import (
+        _rolling_window_hashes, span_occurrences)
 
     shared = ("repeated boilerplate content block that appears in many "
               "documents of the corpus with enough length to guarantee "
@@ -763,13 +761,19 @@ def test_span_rolling_selector_alignment_robust_and_proportional(spark):
     assert common
     assert not (by_doc.get(2, set()) & common)
 
-    # emitted hashes are REAL window md5s of the normalized text
+    # emitted fingerprints ARE the mixed 64-bit rolling hashes of the
+    # normalized-text windows ('r' + decimal), recomputable independently
+    import numpy as np
+
     from crawler_seo_spark.operators.dedup import normalized_text_col
     norm = {r["doc_id"]: r["t"] for r in docs.select(
         "doc_id", normalized_text_col(F.col("text")).alias("t")).collect()}
     for r in occ:
-        w = norm[r["doc_id"]][r["pos"] - 1:r["pos"] - 1 + 40]
-        assert hashlib.md5(w.encode()).hexdigest() == r["span_hash"]
+        t = norm[r["doc_id"]]
+        cp = np.frombuffer(t.encode("utf-32-le"),
+                           dtype="<u4").astype(np.uint64)
+        want = _rolling_window_hashes(cp, 40)[r["pos"] - 1]
+        assert r["span_hash"] == "r" + str(int(want))
 
     # density ~1/mod on a long pseudo-random doc
     import random
