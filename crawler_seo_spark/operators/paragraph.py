@@ -29,6 +29,7 @@ Shape (all bucketed, never all-pairs):
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame
@@ -168,6 +169,64 @@ def _rolling_window_hashes(cp, width):
     return h
 
 
+def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
+                              width: int, sample_mod: int) -> DataFrame:
+    """Flat ``(_id, pos, h64)`` for the production rolling selector —
+    int64 fingerprints only, no strings anywhere: numpy selects AND
+    fingerprints the windows, ``mapInPandas`` ships three flat columns
+    over Arrow, and downstream consumers group/join on the 8-byte key
+    (:func:`span_occurrences` stringifies JVM-side only when the public
+    string form is asked for). Docs shorter than ``width`` keep the
+    md5-prefix SELECTION rule (cross-engine-stable for the one whole-text
+    window) and emit the first 8 md5 bytes as their int64 fingerprint —
+    same 64-bit namespace; a chance collision with a rolling hash is
+    2^-64-scale, negligible against the stats these feed."""
+    from .dedup import normalized_text_col
+
+    norm = df.select(F.col(id_col).alias("_id"),
+                     normalized_text_col(F.col(text_col)).alias("_t"))
+    id_dt = norm.schema["_id"].dataType.simpleString()
+    mod = sample_mod
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, poss, h64s = [], [], []
+            for did, t in zip(pdf["_id"], pdf["_t"]):
+                t = t or ""
+                if not t:
+                    # empty normalized text yields NO windows — two
+                    # blank docs must not "repeat" via md5('')
+                    continue
+                if len(t) >= width:
+                    cp = np.frombuffer(t.encode("utf-32-le"),
+                                       dtype="<u4").astype(np.uint64)
+                    h = _rolling_window_hashes(cp, width)
+                    sel = np.nonzero(h % np.uint64(mod)
+                                     == np.uint64(0))[0]
+                    if len(sel):
+                        ids.append(np.full(len(sel), did))
+                        poss.append((sel + 1).astype(np.int32))
+                        # label only — signed view of the uint64
+                        h64s.append(h[sel].astype(np.int64))
+                else:
+                    dig = hashlib.md5(t.encode()).digest()
+                    if int.from_bytes(dig[:4], "big") % mod == 0:
+                        ids.append(np.full(1, did))
+                        poss.append(np.array([1], dtype=np.int32))
+                        h64s.append(np.frombuffer(dig[:8],
+                                                  dtype=">i8")
+                                    .astype(np.int64))
+            if ids:
+                yield pd.DataFrame({"_id": np.concatenate(ids),
+                                    "pos": np.concatenate(poss),
+                                    "h64": np.concatenate(h64s)})
+
+    return norm.mapInPandas(kernel,
+                            schema=f"_id {id_dt}, pos int, h64 long")
+
+
 def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", width: int = 40,
                      stride: int = 1,
@@ -197,15 +256,21 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
       mode (selection needs the digest).
     * ``"rolling"`` (PRODUCTION): a vectorized numpy Rabin-Karp rolling
       fingerprint over the code-point array both SELECTS the ~n/mod
-      windows and IS the emitted ``span_hash`` (``"r" + decimal`` of the
-      mixed 64-bit hash — the prefix keeps it disjoint from md5 hex) —
-      zero per-window Python, the whole kernel is numpy passes. Repeat
-      detection across documents is identical in kind (equal window
-      content ⇔ equal fingerprint); the 64-bit space makes a corpus-wide
-      false collision negligible for stats (birthday bound ≈ 3% at 10^9
-      windows for ONE colliding pair — irrelevant to threshold-style
-      repeat ratios; use the md5 selector where exactness matters). Not
-      expressible in DuckDB — oracle queries pin ``selector="md5"``.
+      windows and IS the emitted ``span_hash`` (``"r" + signed decimal``
+      of the mixed 64-bit hash — the prefix keeps it disjoint from md5
+      hex) — zero per-window Python: the kernel is numpy passes feeding
+      a ``mapInPandas`` that ships flat int64 columns over Arrow, and
+      the int→string labelling runs JVM-side in whole-stage codegen.
+      Repeat detection across documents is identical in kind (equal
+      window content ⇔ equal fingerprint); the 64-bit space makes a
+      corpus-wide false collision negligible for stats (birthday bound
+      ≈ 3% at 10^9 windows for ONE colliding pair — irrelevant to
+      threshold-style repeat ratios; use the md5 selector where
+      exactness matters). Docs shorter than ``width`` keep the md5
+      single-window SELECTION rule and fingerprint as their truncated
+      md5 (see :func:`_span_occurrences_rolling`), so a repeated short
+      text is still detected across docs. Not expressible in DuckDB —
+      oracle queries pin ``selector="md5"``.
 
     Kernel: normalization runs ONCE per document JVM-side, then an Arrow
     pandas UDF hashes the windows (hashlib md5 — byte-identical to
@@ -226,9 +291,16 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
     rolling = (selector == "rolling" and sample_mod is not None
                and stride == 1)
 
+    if rolling:
+        flat = _span_occurrences_rolling(df, id_col, text_col, width,
+                                         sample_mod)
+        return flat.select(
+            F.col("_id").alias(id_col), "pos",
+            F.concat(F.lit("r"), F.col("h64").cast("string"))
+            .alias("span_hash"))
+
     @F.pandas_udf("array<struct<pos:int,h:string>>")
     def spans(ts):
-        import numpy as np
         import pandas as pd
         out = []
         for t in ts:
@@ -237,17 +309,6 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                 # empty normalized text yields NO windows — two blank
                 # docs must not "repeat" via a shared md5('')
                 out.append([])
-                continue
-            if rolling and len(t) >= width:
-                cp = np.frombuffer(t.encode("utf-32-le"),
-                                   dtype="<u4").astype(np.uint64)
-                h64 = _rolling_window_hashes(cp, width)
-                sel = np.nonzero(h64 % np.uint64(sample_mod)
-                                 == np.uint64(0))[0]
-                # vectorized fingerprint strings: 'r' + decimal uint64
-                hs = np.char.add("r", h64[sel].astype("U20"))
-                out.append([{"pos": int(p) + 1, "h": h}
-                            for p, h in zip(sel, hs)])
                 continue
             upper = max(len(t) - (width - 1), 1)
             lst = []
@@ -281,9 +342,18 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
     combined (hash, partial-count) rows; the flagging join's right side
     is pre-filtered to the REPEAT vocabulary only (most hashes in a
     real corpus are unique — joining the full count table would ship
-    ~|corpus| rows for nothing); one per-doc aggregation."""
-    occ = span_occurrences(df, id_col, text_col, width, stride,
-                           sample_mod, selector)
+    ~|corpus| rows for nothing); one per-doc aggregation. With the
+    production rolling selector the whole pipeline stays on the raw
+    int64 fingerprint (8-byte shuffle keys) — span_hash strings are
+    never built, since they don't appear in the output."""
+    if (selector == "rolling" and sample_mod is not None and stride == 1):
+        occ = (_span_occurrences_rolling(df, id_col, text_col, width,
+                                         sample_mod)
+               .select(F.col("_id").alias(id_col),
+                       F.col("h64").alias("span_hash")))
+    else:
+        occ = span_occurrences(df, id_col, text_col, width, stride,
+                               sample_mod, selector)
     repeated = (occ.groupBy("span_hash")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > 1)

@@ -773,7 +773,9 @@ def test_span_rolling_selector_alignment_robust_and_proportional(spark):
         cp = np.frombuffer(t.encode("utf-32-le"),
                            dtype="<u4").astype(np.uint64)
         want = _rolling_window_hashes(cp, 40)[r["pos"] - 1]
-        assert r["span_hash"] == "r" + str(int(want))
+        # label is the SIGNED decimal view (int64 rides Arrow; the
+        # 'r'+cast-to-string runs JVM-side in codegen)
+        assert r["span_hash"] == "r" + str(int(want.astype(np.int64)))
 
     # density ~1/mod on a long pseudo-random doc
     import random
