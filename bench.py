@@ -144,6 +144,18 @@ def main() -> None:
           lambda: force(repeated_span_stats(docs, width=40, sample_mod=32,
                                             selector="rolling")))
 
+    # exact-extent pass (maximal repeated ranges) at production sampling,
+    # and decontamination of the full corpus against a broadcast
+    # benchmark gram set (xxhash64 keys)
+    from crawler_seo_spark.operators.decontam import contamination_ratios
+    from crawler_seo_spark.operators.paragraph import repeated_span_extents
+    timed("d_span_extents_mod8_full",
+          lambda: force(repeated_span_extents(docs, width=40, sample_mod=8,
+                                              selector="rolling")))
+    timed("t_decontam_full_vs_200",
+          lambda: force(contamination_ratios(
+              docs, docs.filter("doc_id < 200"), n=8, key="hash")))
+
     # incremental dedup: second-batch ingest against a persisted index of
     # the first half (the steady-state ingest cost — only the new batch's
     # signatures are computed; the index streams from parquet)

@@ -170,7 +170,8 @@ def _rolling_window_hashes(cp, width):
 
 
 def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
-                              width: int, sample_mod: int) -> DataFrame:
+                              width: int,
+                              sample_mod: int | None) -> DataFrame:
     """Flat ``(_id, pos, h64)`` for the production rolling selector —
     int64 fingerprints only, no strings anywhere: numpy selects AND
     fingerprints the windows, ``mapInPandas`` ships three flat columns
@@ -180,7 +181,9 @@ def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
     md5-prefix SELECTION rule (cross-engine-stable for the one whole-text
     window) and emit the first 8 md5 bytes as their int64 fingerprint —
     same 64-bit namespace; a chance collision with a rolling hash is
-    2^-64-scale, negligible against the stats these feed."""
+    2^-64-scale, negligible against the stats these feed.
+    ``sample_mod=None`` keeps EVERY window — dense exact mode at numpy
+    speed, the fast path for extent extraction."""
     from .dedup import normalized_text_col
 
     norm = df.select(F.col(id_col).alias("_id"),
@@ -203,8 +206,11 @@ def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
                     cp = np.frombuffer(t.encode("utf-32-le"),
                                        dtype="<u4").astype(np.uint64)
                     h = _rolling_window_hashes(cp, width)
-                    sel = np.nonzero(h % np.uint64(mod)
-                                     == np.uint64(0))[0]
+                    if mod is None:
+                        sel = np.arange(len(h))
+                    else:
+                        sel = np.nonzero(h % np.uint64(mod)
+                                         == np.uint64(0))[0]
                     if len(sel):
                         ids.append(np.full(len(sel), did))
                         poss.append((sel + 1).astype(np.int32))
@@ -212,7 +218,8 @@ def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
                         h64s.append(h[sel].astype(np.int64))
                 else:
                     dig = hashlib.md5(t.encode()).digest()
-                    if int.from_bytes(dig[:4], "big") % mod == 0:
+                    if mod is None or int.from_bytes(dig[:4],
+                                                     "big") % mod == 0:
                         ids.append(np.full(1, did))
                         poss.append(np.array([1], dtype=np.int32))
                         h64s.append(np.frombuffer(dig[:8],
@@ -288,8 +295,7 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 
     if selector not in ("md5", "rolling"):
         raise ValueError(f"selector must be 'md5' or 'rolling': {selector}")
-    rolling = (selector == "rolling" and sample_mod is not None
-               and stride == 1)
+    rolling = selector == "rolling" and stride == 1
 
     if rolling:
         flat = _span_occurrences_rolling(df, id_col, text_col, width,
@@ -327,6 +333,23 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                     F.col("_e.h").alias("span_hash")))
 
 
+def _raw_or_string_occurrences(df: DataFrame, id_col: str, text_col: str,
+                               width: int, stride: int,
+                               sample_mod: int | None,
+                               selector: str) -> DataFrame:
+    """(id, pos, span_hash) where span_hash is the raw int64 fingerprint
+    on the rolling path (8-byte shuffle keys, no strings) and the md5
+    hex string otherwise — for consumers that only group/join on the
+    hash and never emit it."""
+    if selector == "rolling" and stride == 1:
+        return (_span_occurrences_rolling(df, id_col, text_col, width,
+                                          sample_mod)
+                .select(F.col("_id").alias(id_col), "pos",
+                        F.col("h64").alias("span_hash")))
+    return span_occurrences(df, id_col, text_col, width, stride,
+                            sample_mod, selector)
+
+
 def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", width: int = 40,
                         stride: int = 1,
@@ -346,14 +369,8 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
     production rolling selector the whole pipeline stays on the raw
     int64 fingerprint (8-byte shuffle keys) — span_hash strings are
     never built, since they don't appear in the output."""
-    if (selector == "rolling" and sample_mod is not None and stride == 1):
-        occ = (_span_occurrences_rolling(df, id_col, text_col, width,
-                                         sample_mod)
-               .select(F.col("_id").alias(id_col),
-                       F.col("h64").alias("span_hash")))
-    else:
-        occ = span_occurrences(df, id_col, text_col, width, stride,
-                               sample_mod, selector)
+    occ = _raw_or_string_occurrences(df, id_col, text_col, width, stride,
+                                     sample_mod, selector)
     repeated = (occ.groupBy("span_hash")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > 1)
@@ -366,3 +383,57 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
                  .alias("n_repeated"))
             .withColumn("repeat_ratio",
                         F.round(F.col("n_repeated") / F.col("n_spans"), 6)))
+
+
+def repeated_span_extents(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", width: int = 40,
+                          sample_mod: int | None = None,
+                          selector: str = "md5") -> DataFrame:
+    """Maximal repeated character ranges per document — the exact-extent
+    pass run after :func:`repeated_span_stats` flags a corpus: every
+    window whose fingerprint occurs ≥2 times anywhere in the corpus is
+    an interval ``[pos, pos+width-1]`` over the NORMALIZED text
+    (1-based), and overlapping-or-touching intervals merge into one
+    extent (gaps-and-islands: a window starts a new extent iff its
+    start exceeds the running max end + 1). Output per extent:
+    ``(id, start_pos, end_pos, span_len, n_windows)``.
+
+    Dense mode (``sample_mod=None``) is exact: a repeated run of length
+    L ≥ width yields one extent covering it in both copies. Sampled mode
+    gives conservative inner extents (only selected windows witness the
+    run). Use ``selector="rolling"`` in production — dense selection is
+    a pure numpy pass and the merge needs no strings.
+
+    Scale shape: the repeat-vocabulary join is the same bucketed shape
+    as the stats; the interval merge is one window function partitioned
+    by document (per-doc sequential, distributed across docs — no
+    global ordering anywhere). Reference N/A: the reference has no
+    sub-document repetition analysis (SURVEY.md §2.7 extension).
+    """
+    from pyspark.sql import Window
+
+    occ = _raw_or_string_occurrences(df, id_col, text_col, width, 1,
+                                     sample_mod, selector)
+    repeated = (occ.groupBy("span_hash")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("span_hash"))
+    rep_occ = occ.join(repeated, "span_hash").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_end = F.col("pos") + F.lit(width - 1)
+    prev_max_end = F.max(run_end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    return (rep_occ
+            .withColumn("_new", F.when(prev_max_end.isNull()
+                                       | (F.col("pos")
+                                          > prev_max_end + 1), 1)
+                        .otherwise(0))
+            .withColumn("_isl", F.sum("_new").over(w))
+            .groupBy(id_col, "_isl")
+            .agg(F.min("pos").alias("start_pos"),
+                 (F.max("pos") + F.lit(width - 1)).alias("end_pos"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .withColumn("span_len",
+                        F.col("end_pos") - F.col("start_pos") + 1)
+            .select(id_col, "start_pos", "end_pos", "span_len",
+                    "n_windows"))

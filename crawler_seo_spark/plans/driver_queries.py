@@ -1101,6 +1101,105 @@ def d_repeated_spans_sampled(spark, sf_dir):
     return repeated_span_stats(base, width=40, stride=1, sample_mod=8)
 
 
+@q("d_repeated_span_extents", r"""
+WITH base AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id - (a.doc_id % 2)
+  WHERE a.doc_id < 100),
+norm AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t
+  FROM base),
+occ AS (SELECT doc_id, p AS pos, md5(substr(t, p::INT, 40)) AS h
+        FROM norm CROSS JOIN (SELECT unnest(range(1, 100000)) AS p) u
+        WHERE length(t) > 0 AND p <= greatest(length(t) - 39, 1)),
+cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h),
+rep AS (SELECT doc_id, pos FROM occ JOIN cnt USING (h) WHERE n > 1),
+flg AS (SELECT doc_id, pos,
+    CASE WHEN max(pos + 39) OVER prior IS NULL
+           OR pos > max(pos + 39) OVER prior + 1 THEN 1 ELSE 0 END AS nw
+  FROM rep
+  WINDOW prior AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+grp AS (SELECT doc_id, pos,
+    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flg)
+SELECT doc_id, min(pos)::INT AS start_pos, (max(pos) + 39)::INT AS end_pos,
+       (max(pos) + 39 - min(pos) + 1)::INT AS span_len,
+       count(*)::BIGINT AS n_windows
+FROM grp GROUP BY doc_id, isl
+""")
+def d_repeated_span_extents(spark, sf_dir):
+    """Maximal repeated character ranges (the exact-extent pass after
+    span-repetition flagging): dense stride-1 windows, corpus-repeated
+    windows become intervals, overlapping-or-touching intervals merge
+    (gaps-and-islands) into (start, end, length, window-count) extents
+    over the normalized text. Odd docs mirror their even neighbor, so
+    both carry one full-text extent; unrelated docs only chance ones."""
+    from ..operators.paragraph import repeated_span_extents
+    a = _t(spark, sf_dir, "documents").alias("a").filter("doc_id < 100")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    base = (a.join(b, F.col("b.doc_id")
+                   == F.col("a.doc_id") - (F.col("a.doc_id") % 2))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.when(F.col("a.doc_id") % 2 == 1, F.col("b.text"))
+                    .otherwise(F.col("a.text")).alias("text")))
+    return repeated_span_extents(base, width=40)
+
+
+@q("t_decontaminate_vs_benchmark", r"""
+WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+corpus AS (SELECT a.doc_id,
+    CASE WHEN a.doc_id < 40 THEN b.text ELSE a.text END AS text
+  FROM documents a LEFT JOIN documents b
+    ON b.doc_id = a.doc_id - 20 AND a.doc_id < 40
+  WHERE a.doc_id >= 20 AND a.doc_id < 220),
+normc AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t FROM corpus),
+tokc AS (SELECT doc_id, string_split(t, ' ') AS tk
+         FROM normc WHERE length(t) > 0),
+gramc AS (SELECT DISTINCT doc_id,
+    array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+  FROM tokc CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) u
+  WHERE i + 7 <= len(tk)),
+norme AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS t FROM eval_docs),
+toke AS (SELECT doc_id, string_split(t, ' ') AS tk
+         FROM norme WHERE length(t) > 0),
+grame AS (SELECT DISTINCT
+    array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+  FROM toke CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) u
+  WHERE i + 7 <= len(tk))
+SELECT c.doc_id, count(*)::BIGINT AS n_ngrams,
+       sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       round(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS contamination_ratio
+FROM gramc c LEFT JOIN grame e USING (g) GROUP BY c.doc_id
+""")
+def t_decontaminate_vs_benchmark(spark, sf_dir):
+    """Test-set decontamination (GPT-3/Pile style): per-corpus-doc
+    fraction of distinct word 8-grams that occur in a benchmark corpus
+    (docs 0-19). Corpus docs 20-39 carry an eval doc's exact text
+    (ratio 1.0); the rest overlap only by chance. ``key="text"`` joins
+    on the n-gram string — cross-engine reproducible; production
+    default probes xxhash64 keys against the broadcast set."""
+    from ..operators.decontam import contamination_ratios
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter("doc_id < 20")
+    a = d.alias("a").filter("a.doc_id >= 20 and a.doc_id < 220")
+    b = d.alias("b")
+    corpus = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") - 20)
+                     & (F.col("a.doc_id") < 40), "left")
+              .select(F.col("a.doc_id").alias("doc_id"),
+                      F.when(F.col("a.doc_id") < 40, F.col("b.text"))
+                      .otherwise(F.col("a.text")).alias("text")))
+    return contamination_ratios(corpus, eval_docs, n=8, key="text")
+
+
 @q("d_incremental_simhash_pairs", r"""
 WITH base AS (SELECT a.doc_id,
     CASE WHEN a.doc_id % 2 = 1 THEN b.text ELSE a.text END AS text

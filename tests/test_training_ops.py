@@ -787,3 +787,51 @@ def test_span_rolling_selector_alignment_robust_and_proportional(spark):
                                  selector="rolling").count()
         n_win = len(long_doc) - 39  # normalization keeps single spaces
         assert abs(n_sel / n_win - 1 / mod) < 0.35 / mod, (mod, n_sel)
+
+
+def test_repeated_span_extents_merge_and_selector_agreement(spark):
+    """Extent extraction: two docs share one long run at different
+    offsets — each doc gets ONE merged extent covering exactly the run
+    (interior windows repeat; boundary windows straddle differing
+    context and don't). The md5 and rolling selectors must agree on the
+    extents (fingerprint family changes WHICH hash, never WHERE repeats
+    are), and sampled mode must give inner extents within the dense
+    ones."""
+    from crawler_seo_spark.operators.paragraph import repeated_span_extents
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu")
+    shared = words + " " + words          # 100+ chars, normalized form
+    pre1, pre2 = "one two three four five six", "seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, pre1 + " " + shared + " endga"),
+         (2, pre2 + " " + shared + " othertail")],
+        "doc_id long, text string")
+
+    # the shared run INCLUDES its flanking spaces (both docs read
+    # " shared "), so the maximal extent is L+2 chars starting at the
+    # space before the run (1-based: position len(prefix)+1)
+    o1, o2 = len(pre1) + 1, len(pre2) + 1
+    L = len(shared) + 2
+    expect = {(1, o1, o1 + L - 1), (2, o2, o2 + L - 1)}
+
+    dense_md5 = repeated_span_extents(docs, width=40, selector="md5")
+    rows = dense_md5.collect()
+    got = {(r["doc_id"], r["start_pos"], r["end_pos"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["span_len"] == L
+        assert r["n_windows"] == L - 39
+
+    dense_roll = repeated_span_extents(docs, width=40, selector="rolling")
+    got_roll = {(r["doc_id"], r["start_pos"], r["end_pos"])
+                for r in dense_roll.collect()}
+    assert got_roll == expect
+
+    sampled = repeated_span_extents(docs, width=40, selector="rolling",
+                                    sample_mod=4).collect()
+    assert sampled                       # the long run carries selections
+    for r in sampled:
+        lo, hi = {1: (o1, o1 + L - 1), 2: (o2, o2 + L - 1)}[r["doc_id"]]
+        assert lo <= r["start_pos"] <= r["end_pos"] <= hi
