@@ -170,8 +170,8 @@ def _rolling_window_hashes(cp, width):
 
 
 def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
-                              width: int,
-                              sample_mod: int | None) -> DataFrame:
+                              width: int, sample_mod: int | None,
+                              normalize: bool = True) -> DataFrame:
     """Flat ``(_id, pos, h64)`` for the production rolling selector —
     int64 fingerprints only, no strings anywhere: numpy selects AND
     fingerprints the windows, ``mapInPandas`` ships three flat columns
@@ -186,8 +186,9 @@ def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
     speed, the fast path for extent extraction."""
     from .dedup import normalized_text_col
 
-    norm = df.select(F.col(id_col).alias("_id"),
-                     normalized_text_col(F.col(text_col)).alias("_t"))
+    t_col = (normalized_text_col(F.col(text_col)) if normalize
+             else F.col(text_col))
+    norm = df.select(F.col(id_col).alias("_id"), t_col.alias("_t"))
     id_dt = norm.schema["_id"].dataType.simpleString()
     mod = sample_mod
 
@@ -238,9 +239,12 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", width: int = 40,
                      stride: int = 1,
                      sample_mod: int | None = None,
-                     selector: str = "md5") -> DataFrame:
+                     selector: str = "md5",
+                     normalize: bool = True) -> DataFrame:
     """(id, pos, span_hash) — md5 of each ``width``-char window of the
-    NORMALIZED text at ``stride`` spacing.
+    NORMALIZED text at ``stride`` spacing (``normalize=False`` hashes the
+    raw text instead — positions then index the original string, the form
+    :func:`drop_repeated_spans` splices with).
 
     ``stride=1`` (default) is EXACT: any repeated run ≥ ``width`` chars
     shares a full window wherever it sits — the hash-window form of
@@ -299,7 +303,7 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 
     if rolling:
         flat = _span_occurrences_rolling(df, id_col, text_col, width,
-                                         sample_mod)
+                                         sample_mod, normalize)
         return flat.select(
             F.col("_id").alias(id_col), "pos",
             F.concat(F.lit("r"), F.col("h64").cast("string"))
@@ -325,9 +329,9 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
             out.append(lst)
         return pd.Series(out)
 
-    return (df.select(F.col(id_col),
-                      spans(normalized_text_col(F.col(text_col)))
-                      .alias("_s"))
+    src = (normalized_text_col(F.col(text_col)) if normalize
+           else F.col(text_col))
+    return (df.select(F.col(id_col), spans(src).alias("_s"))
             .select(id_col, F.explode("_s").alias("_e"))
             .select(id_col, F.col("_e.pos").alias("pos"),
                     F.col("_e.h").alias("span_hash")))
@@ -335,19 +339,19 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 
 def _raw_or_string_occurrences(df: DataFrame, id_col: str, text_col: str,
                                width: int, stride: int,
-                               sample_mod: int | None,
-                               selector: str) -> DataFrame:
+                               sample_mod: int | None, selector: str,
+                               normalize: bool = True) -> DataFrame:
     """(id, pos, span_hash) where span_hash is the raw int64 fingerprint
     on the rolling path (8-byte shuffle keys, no strings) and the md5
     hex string otherwise — for consumers that only group/join on the
     hash and never emit it."""
     if selector == "rolling" and stride == 1:
         return (_span_occurrences_rolling(df, id_col, text_col, width,
-                                          sample_mod)
+                                          sample_mod, normalize)
                 .select(F.col("_id").alias(id_col), "pos",
                         F.col("h64").alias("span_hash")))
     return span_occurrences(df, id_col, text_col, width, stride,
-                            sample_mod, selector)
+                            sample_mod, selector, normalize)
 
 
 def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
@@ -388,7 +392,8 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
 def repeated_span_extents(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", width: int = 40,
                           sample_mod: int | None = None,
-                          selector: str = "md5") -> DataFrame:
+                          selector: str = "md5",
+                          normalize: bool = True) -> DataFrame:
     """Maximal repeated character ranges per document — the exact-extent
     pass run after :func:`repeated_span_stats` flags a corpus: every
     window whose fingerprint occurs ≥2 times anywhere in the corpus is
@@ -413,7 +418,7 @@ def repeated_span_extents(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     occ = _raw_or_string_occurrences(df, id_col, text_col, width, 1,
-                                     sample_mod, selector)
+                                     sample_mod, selector, normalize)
     repeated = (occ.groupBy("span_hash")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > 1)
@@ -437,3 +442,58 @@ def repeated_span_extents(df: DataFrame, id_col: str = "doc_id",
                         F.col("end_pos") - F.col("start_pos") + 1)
             .select(id_col, "start_pos", "end_pos", "span_len",
                     "n_windows"))
+
+
+def drop_repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", width: int = 40,
+                        sample_mod: int | None = None,
+                        selector: str = "md5",
+                        normalize: bool = False) -> DataFrame:
+    """Repetition-scrubbed corpus ``(id, text)``: EVERY maximal repeated
+    extent (see :func:`repeated_span_extents`) is excised from every
+    document that carries it — the boilerplate-removal transform
+    (keep-one-copy dedup is :func:`drop_duplicate_paragraphs`; this one
+    targets license blocks / templated runs that should survive in NO
+    copy). Documents with no repeated extents pass through unchanged.
+
+    ``normalize=False`` (default here, unlike the analysis ops) computes
+    windows over the RAW text so extent positions index the original
+    string and splicing is exact. With ``normalize=True`` the returned
+    text is the scrubbed NORMALIZED form.
+
+    Scale shape: extents per doc are collected into ONE array row
+    (bounded by doc length / width), the complement segments are built
+    with element-local lambdas over that array, and the substring
+    assembly runs where the doc's text row already lives — the only
+    text movement is the broadcast-or-shuffle of the (id, extents)
+    pairs, never text duplication per extent."""
+    from .dedup import normalized_text_col
+
+    ext = repeated_span_extents(df, id_col, text_col, width, sample_mod,
+                                selector, normalize)
+    per_doc = (ext.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("start_pos").alias("s"),
+                            F.col("end_pos").alias("e"))))
+                   .alias("_ex")))
+    src = (normalized_text_col(F.col(text_col)) if normalize
+           else F.col(text_col))
+    base = df.select(F.col(id_col), src.alias("_t"))
+    # complement of the sorted extents: segment starts are 1 and each
+    # extent's end+1; segment ends are each extent's start-1 and len(t)
+    starts = F.concat(F.array(F.lit(1)),
+                      F.transform(F.col("_ex"), lambda x: x["e"] + 1))
+    ends = F.concat(F.transform(F.col("_ex"), lambda x: x["s"] - 1),
+                    F.array(F.length("_t")))
+    kept = F.filter(F.zip_with(starts, ends,
+                               lambda s, e: F.struct(s.alias("s"),
+                                                     e.alias("e"))),
+                    lambda seg: seg["e"] >= seg["s"])
+    return (base.join(per_doc, id_col, "left")
+            .withColumn(
+                text_col,
+                F.when(F.col("_ex").isNull(), F.col("_t"))
+                .otherwise(F.array_join(
+                    F.transform(kept, lambda seg: F.col("_t").substr(
+                        seg["s"], seg["e"] - seg["s"] + 1)), "")))
+            .select(id_col, text_col))

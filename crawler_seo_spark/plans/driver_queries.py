@@ -1148,6 +1148,63 @@ def d_repeated_span_extents(spark, sf_dir):
     return repeated_span_extents(base, width=40)
 
 
+@q("d_scrub_repeated_spans", r"""
+WITH base AS (SELECT doc_id,
+    CASE WHEN doc_id < 30
+         THEN repeat('common boilerplate header block ', 8) || text
+         ELSE text END AS text
+  FROM documents WHERE doc_id < 100),
+occ AS (SELECT doc_id, p AS pos, md5(substr(text, p::INT, 40)) AS h
+        FROM base CROSS JOIN (SELECT unnest(range(1, 100000)) AS p) u
+        WHERE length(text) > 0 AND p <= greatest(length(text) - 39, 1)),
+cnt AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+rep AS (SELECT doc_id, pos FROM occ JOIN cnt USING (h)),
+flg AS (SELECT doc_id, pos,
+    CASE WHEN max(pos + 39) OVER prior IS NULL
+           OR pos > max(pos + 39) OVER prior + 1 THEN 1 ELSE 0 END AS nw
+  FROM rep
+  WINDOW prior AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+grp AS (SELECT doc_id, pos,
+    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM flg),
+ext AS (SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+        FROM grp GROUP BY doc_id, isl),
+gaps AS (SELECT doc_id,
+    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) + 1 AS ks,
+    s - 1 AS ke FROM ext),
+tails AS (SELECT e.doc_id, max(e.e) + 1 AS ks, max(length(b.text)) AS ke
+          FROM ext e JOIN base b USING (doc_id) GROUP BY e.doc_id),
+segs AS (SELECT doc_id, ks, ke FROM gaps WHERE ke >= ks
+         UNION ALL SELECT doc_id, ks, ke FROM tails WHERE ke >= ks),
+cleaned AS (SELECT s.doc_id,
+    string_agg(substr(b.text, s.ks::INT, (s.ke - s.ks + 1)::INT),
+               '' ORDER BY s.ks) AS text
+  FROM segs s JOIN base b USING (doc_id) GROUP BY s.doc_id)
+SELECT b.doc_id,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM ext)
+            THEN coalesce(c.text, '') ELSE b.text END AS text
+FROM base b LEFT JOIN cleaned c USING (doc_id)
+""")
+def d_scrub_repeated_spans(spark, sf_dir):
+    """Repetition scrubbing (remove EVERY copy of corpus-repeated runs
+    — boilerplate/license-block removal): docs 0-29 carry an injected
+    common header block; the scrub excises it (and any natural repeats)
+    from the RAW text by exact extent splicing (``normalize=False``).
+    Fully-repeated documents come back empty, untouched documents
+    byte-identical."""
+    from ..operators.paragraph import drop_repeated_spans
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 30,
+               F.concat(F.expr(
+                   "repeat('common boilerplate header block ', 8)"),
+                   F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    return drop_repeated_spans(base, width=40, selector="md5",
+                               normalize=False)
+
+
 @q("t_decontaminate_vs_benchmark", r"""
 WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
 corpus AS (SELECT a.doc_id,

@@ -835,3 +835,35 @@ def test_repeated_span_extents_merge_and_selector_agreement(spark):
     for r in sampled:
         lo, hi = {1: (o1, o1 + L - 1), 2: (o2, o2 + L - 1)}[r["doc_id"]]
         assert lo <= r["start_pos"] <= r["end_pos"] <= hi
+
+
+def test_drop_repeated_spans_scrubs_every_copy(spark):
+    """Repetition scrubbing: the shared run (with its flanking shared
+    spaces) is excised from BOTH carriers, untouched docs pass through
+    byte-identical, and a fully-repeated doc comes back empty."""
+    from crawler_seo_spark.operators.paragraph import drop_repeated_spans
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu")
+    shared = words + " " + words
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six " + shared + " endga"),
+         (2, "seven eight nine ten " + shared + " othertail"),
+         (3, "totally unrelated text with no repeats at all here"),
+         (4, shared),                       # fully repeated vs 1/2
+         ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in drop_repeated_spans(docs, width=40).collect()}
+    # flanking spaces are part of the shared run -> excised with it
+    assert out[1] == "one two three four five sixendga"
+    assert out[2] == "seven eight nine tenothertail"
+    assert out[3] == "totally unrelated text with no repeats at all here"
+    assert out[4] == ""
+
+    # rolling selector scrubs identically (same repeats, different keys)
+    out_r = {r["doc_id"]: r["text"]
+             for r in drop_repeated_spans(docs, width=40,
+                                          selector="rolling").collect()}
+    assert out_r == out
