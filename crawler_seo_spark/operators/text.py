@@ -131,3 +131,86 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("subword_tokens", subword_estimate_col(t))
             .withColumn("quality_score", quality_score_col(t))
             .withColumn("fingerprint", fingerprint_col(t)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gates (Rae et al. 2021, table A1 — the
+# published rule set every large text pipeline reimplements)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word: float = 3.0,
+                         max_mean_word: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         max_bullet_line_frac: float = 0.9,
+                         max_ellipsis_line_frac: float = 0.3,
+                         min_alpha_word_frac: float = 0.8,
+                         min_stopword_kinds: int = 2) -> DataFrame:
+    """Per-rule boolean gates + the combined ``keep`` flag, all pure
+    Catalyst (whole-stage codegen; array lambdas are element-local —
+    never slicing an outer array, the O(n²) inlining trap). Thresholds
+    default to the published Gopher values. Each rule is its own column
+    so a pipeline can report WHY documents were dropped (the reject-log
+    discipline the crawl engine uses for URL filters).
+
+    Rules: word count bounds; mean word length bounds; symbol-to-word
+    ratio (``#`` and ``...``); bullet-started line fraction;
+    ellipsis-ended line fraction; alphabetic-word fraction; minimum
+    distinct-stopword kinds present."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    words = F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+    n_words = F.size(words)
+    nw1 = F.greatest(n_words, F.lit(1))
+    word_chars = F.aggregate(words, F.lit(0).cast("long"),
+                             lambda a, x: a + F.length(x))
+    mean_word = F.round(word_chars / nw1, 6)
+    hashes = _count_occurrences(t, "#")
+    ellipses = _count_occurrences(t, "...")
+    symbol_ratio = F.round((hashes + ellipses) / nw1, 6)
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+                     lambda ln: ln != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(F.size(F.filter(
+        lines, lambda ln: ln.startswith("-") | ln.startswith("*")
+        | ln.startswith("•"))) / n_lines, 6)
+    ellipsis_frac = F.round(F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…")))
+        / n_lines, 6)
+    alpha_frac = F.round(F.size(F.filter(
+        words, lambda w: w.rlike(r"[\p{L}]"))) / nw1, 6)
+    padded = F.concat(F.lit(" "),
+                      F.regexp_replace(F.lower(t), r"[^\p{L}\p{N} ]", " "),
+                      F.lit(" "))
+    kinds = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        kinds = kinds + F.when(
+            padded.contains(f" {w} "), 1).otherwise(0)
+    out = (df
+           .withColumn("n_words", n_words)
+           .withColumn("mean_word_len", mean_word)
+           .withColumn("pass_word_count",
+                       (n_words >= min_words) & (n_words <= max_words))
+           .withColumn("pass_mean_word_len",
+                       (mean_word >= min_mean_word)
+                       & (mean_word <= max_mean_word))
+           .withColumn("pass_symbol_ratio",
+                       symbol_ratio <= max_symbol_word_ratio)
+           .withColumn("pass_bullet_lines",
+                       bullet_frac <= max_bullet_line_frac)
+           .withColumn("pass_ellipsis_lines",
+                       ellipsis_frac <= max_ellipsis_line_frac)
+           .withColumn("pass_alpha_words",
+                       alpha_frac >= min_alpha_word_frac)
+           .withColumn("pass_stopwords", kinds >= min_stopword_kinds))
+    return out.withColumn(
+        "keep",
+        F.col("pass_word_count") & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio") & F.col("pass_bullet_lines")
+        & F.col("pass_ellipsis_lines") & F.col("pass_alpha_words")
+        & F.col("pass_stopwords"))

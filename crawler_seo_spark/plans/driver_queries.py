@@ -1148,6 +1148,100 @@ def d_repeated_span_extents(spark, sf_dir):
     return repeated_span_extents(base, width=40)
 
 
+@q("t_gopher_quality_flags", r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+feat AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS words,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS lines,
+    (length(text) - length(replace(text, '#', '')))::INT AS n_hash,
+    ((length(text) - length(replace(text, '...', ''))) / 3)::INT AS n_ell,
+    ' ' || regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g') || ' '
+      AS padded
+  FROM base),
+m AS (SELECT doc_id,
+    len(words)::INT AS n_words,
+    greatest(len(words), 1) AS nw1,
+    coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+      AS word_chars,
+    n_hash, n_ell, words, lines, padded,
+    greatest(len(lines), 1) AS nl1
+  FROM feat),
+r AS (SELECT doc_id, n_words,
+    round(word_chars / nw1, 6) AS mean_word_len,
+    round((n_hash + n_ell) / nw1, 6) AS symbol_ratio,
+    round(len(list_filter(lines, x -> starts_with(x, '-')
+          OR starts_with(x, '*') OR starts_with(x, '•'))) / nl1, 6)
+      AS bullet_frac,
+    round(len(list_filter(lines, x -> ends_with(x, '...')
+          OR ends_with(x, '…'))) / nl1, 6) AS ellipsis_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[\p{L}]')))
+          / nw1, 6) AS alpha_frac,
+    (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' be ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' have ') THEN 1 ELSE 0 END
+     + CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END) AS kinds
+  FROM m)
+SELECT doc_id, n_words, mean_word_len,
+       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AS pass_mean_word_len,
+       (symbol_ratio <= 0.1) AS pass_symbol_ratio,
+       (bullet_frac <= 0.9) AS pass_bullet_lines,
+       (ellipsis_frac <= 0.3) AS pass_ellipsis_lines,
+       (alpha_frac >= 0.8) AS pass_alpha_words,
+       (kinds >= 2) AS pass_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND kinds >= 2) AS keep
+FROM r
+""")
+def t_gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule document gates (published Rae et al. 2021 table-A1
+    thresholds): per-rule booleans + combined keep over the documents
+    table — the reject-log form a cleaning pipeline reports."""
+    from ..operators.text import gopher_quality_flags
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(d).select(
+        "doc_id", "n_words", "mean_word_len", "pass_word_count",
+        "pass_mean_word_len", "pass_symbol_ratio", "pass_bullet_lines",
+        "pass_ellipsis_lines", "pass_alpha_words", "pass_stopwords",
+        "keep")
+
+
+@q("t_sample_training_mix", r"""
+WITH base AS (SELECT doc_id, 's' || (doc_id % 3)::VARCHAR AS source
+              FROM documents),
+rates AS (SELECT * FROM (VALUES ('s0', 1000000), ('s1', 500000),
+                                ('s2', 100000)) AS t(source, ppm))
+SELECT b.doc_id, b.source
+FROM base b JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || ':mix-v1'), 1, 8))::BIGINT
+      % 1000000 < r.ppm
+""")
+def t_sample_training_mix(spark, sf_dir):
+    """Deterministic training-mix sampling: strata s0/s1/s2 (doc_id mod
+    3) kept at 100%/50%/10% by an (id, salt) hash decision — same docs
+    selected on any engine/cluster, monotone in rate."""
+    from ..operators.sampling import sample_corpus_mix
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+        .alias("source"))
+    weights = spark.createDataFrame(
+        [("s0", 1.0), ("s1", 0.5), ("s2", 0.1)], "source string, rate double")
+    return sample_corpus_mix(corpus, weights, group_col="source",
+                             salt="mix-v1")
+
+
 @q("d_scrub_repeated_spans", r"""
 WITH base AS (SELECT doc_id,
     CASE WHEN doc_id < 30
