@@ -1148,6 +1148,43 @@ def d_repeated_span_extents(spark, sf_dir):
     return repeated_span_extents(base, width=40)
 
 
+@q("s_pq_encode", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+b AS (SELECT unnest(range(0, 8))::INT AS block),
+cbase AS (SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 16),
+vb AS (SELECT v.vec_id, b.block,
+              list_slice(ev, b.block * 8 + 1, b.block * 8 + 8) AS sv
+       FROM v CROSS JOIN b),
+cb AS (SELECT c.code, b.block,
+              list_slice(cv, b.block * 8 + 1, b.block * 8 + 8) AS cs
+       FROM cbase c CROSS JOIN b),
+scored AS (SELECT vb.vec_id, vb.block, cb.code,
+    list_dot_product(sv, sv) + list_dot_product(cs, cs)
+      - 2 * list_dot_product(sv, cs) AS d
+  FROM vb JOIN cb USING (block))
+SELECT vec_id, block, code::INT AS code FROM (
+  SELECT vec_id, block, code,
+         row_number() OVER (PARTITION BY vec_id, block
+                            ORDER BY d ASC, code ASC) AS rn
+  FROM scored) WHERE rn = 1
+""")
+def s_pq_encode(spark, sf_dir):
+    """Product-quantization encoding with an EXPLICIT codebook (blocks
+    of the first 16 vectors — the IVF-oracle convention) so DuckDB can
+    reproduce every per-block L2 argmin independently: both engines use
+    the expanded |x|²+|c|²−2x·c form in double, ties to the lowest
+    code. Output exploded to (vec_id, block, code). Codebook TRAINING
+    and ADC search stay pytest-proven (training is iterative; search
+    recall <1 by design — same split as IVF/LSH)."""
+    from ..operators.quantization import pq_encode_with, pq_seed_codebook
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_seed_codebook(emb, m=8, k=16)
+    return (pq_encode_with(emb, cb)
+            .select("vec_id", F.posexplode("codes")
+                    .alias("block", "code")))
+
+
 @q("t_gopher_quality_flags", r"""
 WITH base AS (SELECT doc_id, text FROM documents),
 feat AS (SELECT doc_id,
