@@ -161,3 +161,131 @@ def pq_search(codes_df: DataFrame, codebook, queries: DataFrame, k: int = 5,
         F.desc("score"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse routing + residual codes — the composition a
+# billion-vector index actually ships (probe nprobe/n_lists of the data,
+# score 8-byte codes, never touch a float vector)
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(corpus: DataFrame, n_lists: int = 16, m: int = 8,
+                k: int = 16, n_iters: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """Build the IVF-PQ index: coarse k-means lists (reusing the IVF
+    trainer), then a PQ codebook trained on RESIDUALS ``v − c(list)``
+    (Jégou 2011's IVFADC — residuals are far more quantizable than raw
+    vectors because the coarse step removed the between-cluster
+    variance). Returns ``(codes_df, centroids, codebook)`` where
+    ``codes_df`` is ``(id, ivf_list, codes)`` — 4+m bytes of index per
+    vector. Residual subtraction is one broadcast-matrix pandas UDF;
+    nothing here shuffles except the trainers' own aggregations."""
+    from .similarity import ivf_kmeans
+
+    assigned, centroids = ivf_kmeans(corpus, n_lists=n_lists,
+                                     n_iters=n_iters, vec_col=vec_col)
+    resid = _with_residual(assigned, centroids, vec_col)
+    cb = pq_train(resid.select(id_col, "ivf_list",
+                               F.col("_resid").alias(vec_col)),
+                  m=m, k=k, n_iters=n_iters, id_col=id_col,
+                  vec_col=vec_col)
+    codes = pq_encode_with(resid, cb, id_col, "_resid") \
+        .join(resid.select(id_col, "ivf_list"), id_col)
+    return codes, centroids, cb
+
+
+def _with_residual(assigned: DataFrame, centroids, vec_col: str):
+    C = np.asarray(centroids, dtype=np.float64)
+    sc = assigned.sparkSession.sparkContext
+    b_c = sc.broadcast(C)
+
+    @F.pandas_udf("array<double>")
+    def resid(vecs: pd.Series, lists: pd.Series) -> pd.Series:
+        Cl = b_c.value
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        R = V - Cl[lists.to_numpy()]
+        return pd.Series(list(R))
+
+    return assigned.withColumn(
+        "_resid", resid(F.col(vec_col), F.col("ivf_list")))
+
+
+def ivfpq_search(codes_df: DataFrame, centroids, codebook,
+                 queries: DataFrame, k: int = 5, nprobe: int = 4,
+                 id_col: str = "vec_id",
+                 query_id_col: str = "query_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k by cosine over the IVF-PQ index: route each query to
+    its ``nprobe`` nearest lists, scan ONLY those lists' codes
+    (``ivf_list IN probed-union`` — partition pruning when the codes are
+    stored partitioned by list), and score reconstructions
+    ``v̂ = c(list) + r̂(codes)`` entirely from precomputed tables:
+
+        ip(q, v̂)  = QC[q, list]  + Σ_b QLUT[q, b, code]
+        |v̂|²      = CN2[list] + 2·Σ_b CLUT[list, b, code]
+                     + Σ_b N2[b, code]
+
+    (blocks span disjoint coordinates, so the residual's norm is the
+    plain per-block sum; the list↔block cross terms are the CLUT table).
+    Every table is O(n_lists·m·k) numpy, broadcast once — scoring never
+    reconstructs a vector. A (query, list) pair the query did NOT probe
+    is masked out, so results match a per-query probed scan exactly.
+    Ties break to the lower vec_id (brute_force_topk contract)."""
+    from pyspark.sql import Window
+
+    cb = _as_codebook(codebook)
+    m, kk, dsub = cb.shape
+    C = np.asarray(centroids, dtype=np.float64)
+    n_lists = len(C)
+    nprobe = min(nprobe, n_lists)
+    q_rows = queries.select(query_id_col, vec_col).orderBy(
+        query_id_col).collect()
+    qids = [r[0] for r in q_rows]
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = np.maximum(np.sqrt((Q * Q).sum(1)), 1e-12)
+    cnorm = np.maximum(np.sqrt((C * C).sum(1)), 1e-12)
+    sims = (Q @ C.T) / (qnorm[:, None] * cnorm[None, :])
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probed_union = sorted({int(x) for x in probe.ravel()})
+    mask = np.zeros((len(Q), n_lists), dtype=bool)
+    for qi in range(len(Q)):
+        mask[qi, probe[qi]] = True
+
+    QC = Q @ C.T                                        # (Q, n_lists)
+    QLUT = np.einsum("qbd,bkd->qbk", Q.reshape(len(Q), m, dsub), cb)
+    CLUT = np.einsum("lbd,bkd->lbk", C.reshape(n_lists, m, dsub), cb)
+    CN2 = (C * C).sum(1)                                # (n_lists,)
+    N2 = (cb * cb).sum(2)                               # (m, k)
+    sc = codes_df.sparkSession.sparkContext
+    b = sc.broadcast((QC, QLUT, CLUT, CN2, N2, qnorm, mask))
+
+    @F.pandas_udf("array<double>")
+    def scores(codes: pd.Series, lists: pd.Series) -> pd.Series:
+        QC_, QLUT_, CLUT_, CN2_, N2_, QN_, MASK_ = b.value
+        Cd = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+        ls = lists.to_numpy()
+        ar = np.arange(Cd.shape[1])
+        r_ip = QLUT_[:, ar, Cd].sum(axis=2)             # (Q, N)
+        ip = QC_[:, ls] + r_ip
+        v2 = (CN2_[ls]
+              + 2.0 * CLUT_[ls[:, None], ar[None, :], Cd].sum(axis=1)
+              + N2_[ar, Cd].sum(axis=1))                # (N,)
+        s = ip / np.maximum(QN_[:, None] * np.sqrt(np.maximum(v2, 0.0)),
+                            1e-12)
+        s = np.where(MASK_[:, ls], s, -np.inf)
+        return pd.Series(list(np.round(s.T, 6)))
+
+    qmap = F.array(*[F.lit(q) for q in qids])
+    scored = (codes_df.filter(F.col("ivf_list").isin(probed_union))
+              .select(F.col(id_col),
+                      scores(F.col("codes"), F.col("ivf_list"))
+                      .alias("_s"))
+              .select(id_col, F.posexplode("_s").alias("_qi", "score"))
+              .filter(F.col("score") > float("-1e308"))
+              .select(F.element_at(qmap, F.col("_qi") + 1)
+                      .alias(query_id_col),
+                      F.col(id_col), "score"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -80,3 +80,47 @@ def test_pq_search_recall_and_ranking(clustered):
         assert all(rs[i]["score"] >= rs[i + 1]["score"]
                    for i in range(9))
     assert np.mean(recalls) >= 0.5
+
+
+def test_ivfpq_search_recall_and_pruning(clustered, spark):
+    """IVF-PQ composition: residual codes + coarse routing. Recall@10
+    holds against brute force, probing ALL lists matches the quality
+    ceiling of the quantizer (routing loses nothing at full probe), and
+    the scan is pruned to the probed-union lists."""
+    from collections import defaultdict
+    from crawler_seo_spark.operators.quantization import (
+        ivfpq_build, ivfpq_search)
+    from crawler_seo_spark.operators.similarity import brute_force_topk
+
+    df, V = clustered
+    codes, cents, cb = ivfpq_build(df, n_lists=8, m=4, k=16, n_iters=2)
+    assert set(codes.columns) == {"vec_id", "codes", "ivf_list"}
+
+    queries = df.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id")
+    exact = brute_force_topk(df, queries, k=10).collect()
+    ex = defaultdict(set)
+    for r in exact:
+        ex[r["query_id"]].add(r["vec_id"])
+
+    def recall(nprobe):
+        got = ivfpq_search(codes, cents, cb, queries, k=10,
+                           nprobe=nprobe).collect()
+        ap = defaultdict(set)
+        for r in got:
+            ap[r["query_id"]].add(r["vec_id"])
+        return sum(len(ex[q] & ap[q]) / 10 for q in ex) / len(ex)
+
+    r_small, r_full = recall(2), recall(8)
+    assert r_small >= 0.5
+    assert r_full >= r_small - 1e-9   # more probes never hurt
+
+    # pruning: with nprobe=1 and a single query, only that query's top
+    # list is scanned (mask + filter agree)
+    one_q = df.filter("vec_id = 0").withColumnRenamed(
+        "vec_id", "query_id")
+    got = ivfpq_search(codes, cents, cb, one_q, k=5, nprobe=1).collect()
+    lists_hit = {r["ivf_list"] for r in codes.join(
+        spark.createDataFrame([(r["vec_id"],) for r in got],
+                              "vec_id long"), "vec_id").collect()}
+    assert len(lists_hit) == 1
