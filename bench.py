@@ -202,6 +202,17 @@ def main() -> None:
         force(ivf_topk(assigned, cents, queries10, k=5, nprobe=2))
     timed("s_ann_ivf_topk_16lists", ivf_bench)
 
+    # compressed path: IVF-PQ index built once (setup, untimed — the
+    # steady state searches a persisted index), ADC search timed
+    from crawler_seo_spark.operators.quantization import (
+        ivfpq_build, ivfpq_search)
+    pq_codes, pq_cents, pq_cb = ivfpq_build(emb, n_lists=16, m=8, k=16,
+                                            n_iters=1)
+    pq_codes = pq_codes.localCheckpoint(eager=True)
+    timed("s_ann_ivfpq_topk",
+          lambda: force(ivfpq_search(pq_codes, pq_cents, pq_cb,
+                                     queries10, k=5, nprobe=4)))
+
     # --- image validation throughput (north-rule metric: images validated/s;
     # generation AND validation both run on the executors) --------------------
     from crawler_seo_spark.operators.multimodal import validate_images
