@@ -31,21 +31,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text_col
+from .hashutil import POLY64 as _GRAM_POLY
+from .hashutil import splitmix64 as _splitmix64
 
 
 def word_ngrams_col(text: Column, n: int) -> Column:
     """Array of word ``n``-grams (space-joined) over the normalized
     text. Documents with fewer than ``n`` tokens yield an EMPTY array —
-    never a padded partial gram (``sequence(1, 0)`` would descend, so
-    the empty case is guarded explicitly)."""
-    toks = F.split(normalized_text_col(text), " ")
-    cnt = F.size(toks) - (n - 1)
-    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    never a padded partial gram.
 
+    Kernel note: the obvious Catalyst form —
+    ``transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))``
+    — hits the documented higher-order-lambda inlining trap
+    (``operators/dedup.py`` module notes): ``toks`` is re-evaluated
+    (re-split, re-normalized) PER ELEMENT, O(tokens²) per document. The
+    token array is instead materialized ONCE as the input of an Arrow
+    pandas UDF that joins the windows linearly."""
 
-_GRAM_POLY = 0x100000001B3      # 64-bit odd polynomial base (FNV prime)
+    @F.pandas_udf("array<string>")
+    def _grams(toks: pd.Series) -> pd.Series:
+        out = []
+        for tk in toks:
+            if tk is None or len(tk) < n:
+                out.append([])
+                continue
+            tl = list(tk)
+            out.append([" ".join(tl[i:i + n])
+                        for i in range(len(tl) - n + 1)])
+        return pd.Series(out)
+
+    return _grams(F.split(normalized_text_col(text), " "))
 
 
 def word_ngram_keys_col(text: Column, n: int) -> Column:
@@ -58,15 +73,17 @@ def word_ngram_keys_col(text: Column, n: int) -> Column:
     (which can only over-flag, never miss).
 
     Kernel shape (the dedup word-shingle discipline — see
-    ``operators/dedup.py`` module notes): per-token hashes via an
-    element-local Catalyst lambda (anything slicing the token array
-    inside a lambda is re-evaluated per element — ``xxhash64(slice(...))``
-    measured ~6 s over sf0.1 vs ~1 s for this form), then the n-token
-    windowed polynomial combine + splitmix finalize runs vectorized in
-    numpy over Arrow batches."""
-    from .dedup import token_hashes_col
-
-    tok = token_hashes_col(text, "xxhash64")
+    ``operators/dedup.py`` module notes): per-token FULL-WIDTH xxhash64
+    via an element-local Catalyst lambda (anything slicing the token
+    array inside a lambda is re-evaluated per element —
+    ``xxhash64(slice(...))`` measured ~6 s over sf0.1 vs ~1 s for this
+    form; and unlike ``token_hashes_col`` no mod-2^31 reduction — a
+    31-bit token space would put gram collisions at 2^-31-scale, ~10^9×
+    the stated bound), then the n-token windowed polynomial combine +
+    splitmix finalize runs vectorized in numpy over Arrow batches."""
+    toks = F.filter(F.split(normalized_text_col(text), " "),
+                    lambda t: t != "")
+    tok = F.transform(toks, lambda t: F.xxhash64(t, F.lit(42)))
 
     @F.pandas_udf("array<long>")
     def _keys(hh: pd.Series) -> pd.Series:
@@ -77,16 +94,13 @@ def word_ngram_keys_col(text: Column, n: int) -> Column:
             if h is None or len(h) < n:
                 out.append([])
                 continue
-            hv = np.asarray(h, dtype=np.uint64)
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
             with np.errstate(over="ignore"):
                 acc = hv[: len(hv) - n + 1].copy()
                 for j in range(1, n):
                     acc = acc * base + hv[j: len(hv) - n + 1 + j]
-                # splitmix64-style finalizer: uniform 64-bit keys
-                acc ^= acc >> np.uint64(33)
-                acc *= np.uint64(0xFF51AFD7ED558CCD)
-                acc ^= acc >> np.uint64(29)
-            out.append(acc.astype(np.int64))
+            # shared finalizer (hashutil.splitmix64): uniform 64-bit keys
+            out.append(_splitmix64(acc).astype(np.int64))
         return pd.Series(out)
 
     return _keys(tok)

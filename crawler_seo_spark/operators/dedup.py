@@ -248,25 +248,33 @@ def guarded_band_pairs(banded: DataFrame, id_col: str,
     Real web corpora are not uniform: 10^5 near-identical boilerplate
     pages share a band key, and an unguarded self-join makes that one
     bucket O(10^10) pairs. With ``max_bucket`` set, buckets whose
-    population exceeds it are NOT self-joined; instead every member pairs
-    with the bucket's minimum-id member (STAR pairing): pair count drops
-    from n·(n−1)/2 to n−1 per hot bucket, while downstream
-    connected-components sees the identical component (all members stay
-    linked through the representative — only the redundant intra-clique
-    edges are dropped, and a clique's CC is determined by any spanning
-    star). Nothing is silently dropped: every hot-bucket member still
-    emits a pair, and the cap is COUNTED — the returned DataFrame carries
-    a ``hot_bucket_observation`` attribute (:class:`pyspark.sql.Observation`
-    with ``hot_buckets`` / ``hot_rows``) that fires with the action, plus
-    a plan-time log line.
+    population exceeds it emit n−1 LINEAR pairs instead of n·(n−1)/2,
+    with the pairing chosen for the consumer:
+
+    * ``hash_col=None`` (LSH — pairs are used as-is): STAR pairing
+      through the bucket's minimum-id member. Downstream
+      connected-components sees the identical component — all members
+      stay linked through the representative.
+    * ``hash_col`` set (pairs feed an exact verify filter): CHAIN
+      pairing, members sorted by ``(hash, id)`` and linked to their
+      neighbor. Star would concentrate every member's ONLY pair on one
+      representative — a member near its neighbors but far from the rep
+      would lose all pairs to the verify. Chain edges of a true
+      near-dup clique are clique edges (every pairwise distance within
+      threshold ⇒ every chain edge survives), so template clusters keep
+      their exact component; for MIXED buckets members link only
+      through verified neighbors — capping is a recall trade there, and
+      it is COUNTED, never silent: the returned DataFrame carries a
+      ``hot_bucket_observation`` attribute
+      (:class:`pyspark.sql.Observation` with ``hot_buckets`` /
+      ``hot_rows``) that fires with the action, plus a plan-time log
+      line.
 
     ``max_bucket=None`` (default) preserves the exact all-pairs
     semantics — the oracle-parity configuration.
 
     With ``hash_col`` set, pairs carry ``hash_a``/``hash_b`` (for exact
-    Hamming verification); the star side takes the representative's hash
-    from the same ``min(struct(id, hash))`` aggregate, so verification
-    semantics are uniform across both sides.
+    Hamming verification) on both the normal and chain sides.
     """
     hc = [hash_col] if hash_col else []
     out_hashes = ([F.col(f"l.{hash_col}").alias("hash_a"),
@@ -305,13 +313,43 @@ def guarded_band_pairs(banded: DataFrame, id_col: str,
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"), *out_hashes))
     if hot is not None:
-        star_hashes = ([F.col(f"_rep.{hash_col}").alias("hash_a"),
-                        F.col(hash_col).alias("hash_b")] if hash_col
-                       else [])
-        star = (hot.filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
-                .select(F.col(f"_rep.{id_col}").alias("id_a"),
-                        F.col(id_col).alias("id_b"), *star_hashes))
-        pairs = pairs.unionByName(star)
+        if hash_col is None:
+            # STAR pairing (no downstream verify filters these pairs):
+            # every member links through the min-id representative —
+            # exactly component-preserving, n−1 edges per bucket
+            star = (hot.filter(F.col(id_col) != F.col(f"_rep.{id_col}"))
+                    .select(F.col(f"_rep.{id_col}").alias("id_a"),
+                            F.col(id_col).alias("id_b")))
+            pairs = pairs.unionByName(star)
+        else:
+            # CHAIN pairing ordered by (hash, id): with a verify filter
+            # downstream, star pairing would drop ALL of a member's
+            # pairs whenever it is far from the representative even if
+            # near its neighbors. Chain edges between hash-adjacent
+            # members are clique edges for a true near-dup clique (every
+            # pairwise distance ≤ threshold ⇒ every chain edge survives
+            # the verify), so template clusters keep their component;
+            # mixed buckets link only through verified neighbors — a
+            # counted recall trade, never a silent one (the Observation
+            # fires per action)
+            from pyspark.sql import Window
+            w = Window.partitionBy("band", "band_key") \
+                .orderBy(hash_col, id_col)
+            chained = (hot
+                       .withColumn("_pid", F.lag(id_col).over(w))
+                       .withColumn("_ph", F.lag(hash_col).over(w))
+                       .filter(F.col("_pid").isNotNull()))
+            a_first = F.col("_pid") < F.col(id_col)
+            chain = chained.select(
+                F.when(a_first, F.col("_pid")).otherwise(F.col(id_col))
+                .alias("id_a"),
+                F.when(a_first, F.col(id_col)).otherwise(F.col("_pid"))
+                .alias("id_b"),
+                F.when(a_first, F.col("_ph")).otherwise(F.col(hash_col))
+                .alias("hash_a"),
+                F.when(a_first, F.col(hash_col)).otherwise(F.col("_ph"))
+                .alias("hash_b"))
+            pairs = pairs.unionByName(chain)
     if distinct:
         pairs = pairs.distinct()
     pairs.hot_bucket_observation = obs
@@ -423,9 +461,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash: band the hash into ``bits/band_bits``
     chunks (pigeonhole: hamming ≤ bands-1 guarantees a shared band), join on
     any equal band, verify Hamming distance exactly via bit_count(xor).
-    ``max_bucket`` caps template-degenerate buckets (star pairing via
-    :func:`guarded_band_pairs`; the exact Hamming verify still applies to
-    every emitted pair)."""
+    ``max_bucket`` caps template-degenerate buckets (hash-ordered CHAIN
+    pairing via :func:`guarded_band_pairs` — clique-component-preserving
+    under the verify; the exact Hamming verify still applies to every
+    emitted pair)."""
     h = df.select(F.col(id_col),
                   simhash64(F.col(text_col), bits, hash_mode).alias("sh"))
     banded = hamming_banded_keys(h, id_col, "sh", bits, band_bits)

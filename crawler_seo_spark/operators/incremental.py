@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import ConcurrentCommitError, SnapshotStore
-from .dedup import (banded_keys, hamming_banded_keys, minhash_signatures,
-                    simhash64)
+from .dedup import (banded_keys, guarded_band_pairs,
+                    hamming_banded_keys, minhash_signatures, simhash64)
 
 
 class _IncrementalIndex:
@@ -86,17 +86,43 @@ class _IncrementalIndex:
                       prev_round: int | None) -> DataFrame:
         raise NotImplementedError
 
+    # attribute names whose values define the on-disk signature layout —
+    # mixing them across reopen silently empties the candidate join (a
+    # word/xxhash batch never band-collides with a char/md5 index), so
+    # every commit records the signature and ingest verifies it.
+    _config_fields: tuple[str, ...] = ()
+
+    def _config_signature(self) -> str:
+        return ";".join(f"{f}={getattr(self, f)}"
+                        for f in self._config_fields)
+
+    def _check_config(self) -> None:
+        m = self.store.manifest()
+        if m is None:
+            return
+        stored = m.get("counters", {}).get("index_config")
+        sig = self._config_signature()
+        if stored is not None and stored != sig:
+            raise ValueError(
+                f"index table '{self.table}' was built with config "
+                f"[{stored}] but this instance is configured [{sig}] — "
+                "new signatures would never match the persisted ones "
+                "(duplicates silently missed). Reopen with the original "
+                "config or ingest into a fresh table.")
+
     def _publish_with_rebase(self, round_id: int | None, derive):
         """The append → commit → (rebase on lost race) protocol, shared by
         every index family. ``derive(prev_round) -> (result,
         rows_to_append, counters)`` is re-invoked against the NEW
         committed round after each lost race (its inputs are pinned by the
         caller, so nothing expensive recomputes)."""
+        self._check_config()
         while True:
             prev_round = self.committed_round()
             rid = round_id if round_id is not None else (
                 0 if prev_round is None else prev_round + 1)
             result, rows, counters = derive(prev_round)
+            counters["index_config"] = self._config_signature()
             self.store.append(self.table, rows, rid,
                               parent_round=prev_round)
             try:
@@ -186,14 +212,19 @@ class _IncrementalIndex:
         template-degenerate corpus concentrates 10^5+ index rows on one
         bucket key, making every new doc that lands there emit O(bucket)
         candidate pairs per ingest. With ``max_bucket`` set, buckets above
-        it are reduced to their minimum-id REPRESENTATIVE row: new
-        members still link into the hot clique through the representative
-        (the clique was fully paired while it grew below the cap, so
-        downstream connected-components sees the same component), but
-        candidate count per new doc is O(1) per hot bucket.
-        ``hot_index_bucket_stats`` reports what the cap trims (run it
-        periodically alongside ingest — the guard itself stays lazy so
-        the derive plan pays no extra action)."""
+        it are reduced to their minimum-id REPRESENTATIVE row: candidate
+        count per new doc drops to O(1) per hot bucket, and a new member
+        links into the hot cluster through the representative. For the
+        UNVERIFIED family (MinHash/LSH) that preserves the component
+        exactly. For verified families (SimHash Hamming, embedding
+        cosine) the new↔rep pair must itself pass the verify — a new doc
+        within threshold of some cluster members but beyond it from the
+        representative loses the link (triangle inequality only bounds
+        d(new, rep) ≤ 2·threshold): capping is a bounded RECALL trade on
+        the capped buckets, not silent — ``hot_index_bucket_stats``
+        reports exactly what the cap trims (run it periodically
+        alongside ingest — the guard itself stays lazy so the derive
+        plan pays no extra action)."""
         if self.max_bucket is None:
             return banded_index
         counts = (banded_index.groupBy(*key_cols)
@@ -204,14 +235,18 @@ class _IncrementalIndex:
                         | (F.col(self.id_col) == F.col("_rep_id")))
                 .drop("_bn", "_rep_id"))
 
+    # banded-join key columns of this family's _banded_index frame
+    _band_key_cols: tuple[str, ...] = ("band", "band_key")
+
     def hot_index_bucket_stats(self, spark: SparkSession,
-                               key_cols: tuple[str, ...]=("band",
-                                                          "band_key")) \
+                               key_cols: tuple[str, ...] | None = None) \
             -> dict:
         """(hot_buckets, hot_rows, max_bucket_rows) over the committed
         index at the current ``max_bucket`` — the observability side of
         the guard. One aggregation over banded keys; run it on the cadence
         monitoring needs, not per ingest."""
+        if key_cols is None:
+            key_cols = self._band_key_cols
         sigs = self.signatures(spark)
         if sigs is None:
             return {"hot_buckets": 0, "hot_rows": 0, "max_bucket_rows": 0}
@@ -268,6 +303,9 @@ class SignatureIndex(_IncrementalIndex):
         self.impl = impl
         self.seed = seed
 
+    _config_fields = ("k", "bands", "shingle_n", "shingle_mode",
+                      "hash_mode", "seed")
+
     @classmethod
     def oracle_parity(cls, store: SnapshotStore, **kw) -> "SignatureIndex":
         """The cross-engine-reproducible configuration (char-5 shingles,
@@ -292,17 +330,24 @@ class SignatureIndex(_IncrementalIndex):
     def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
                       prev_round: int | None) -> DataFrame:
         bn = banded_keys(new_sigs, self.bands, self.id_col, k=self.k)
-        ln = bn.alias("l")
-        # the ingest batch is small by contract (it is broadcast against
-        # the index below) — broadcast one side of the new×new self-join
-        # too, saving both of its shuffle exchanges
-        rn = self._maybe_broadcast(bn).alias("r")
-        pairs = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
-                         & (F.col("l.band_key") == F.col("r.band_key"))
-                         & (F.col(f"l.{self.id_col}")
-                            < F.col(f"r.{self.id_col}")))
-                 .select(F.col(f"l.{self.id_col}").alias("id_a"),
-                         F.col(f"r.{self.id_col}").alias("id_b")))
+        if self.max_bucket is not None:
+            # a template-degenerate INGEST BATCH is quadratic in the
+            # self-join too — same guard as the index side
+            pairs = guarded_band_pairs(bn, self.id_col, self.max_bucket,
+                                       distinct=False)
+        else:
+            ln = bn.alias("l")
+            # the ingest batch is small by contract (it is broadcast
+            # against the index below) — broadcast one side of the
+            # new×new self-join too, saving both shuffle exchanges
+            rn = self._maybe_broadcast(bn).alias("r")
+            pairs = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
+                             & (F.col("l.band_key")
+                                == F.col("r.band_key"))
+                             & (F.col(f"l.{self.id_col}")
+                                < F.col(f"r.{self.id_col}")))
+                     .select(F.col(f"l.{self.id_col}").alias("id_a"),
+                             F.col(f"r.{self.id_col}").alias("id_b")))
         if prev_round is not None:
             index = self.store.read(spark, self.table, prev_round)
             bi = self._trim_hot_index_buckets(
@@ -349,6 +394,8 @@ class SimHashIndex(_IncrementalIndex):
         self.max_hamming = max_hamming
         self.hash_mode = hash_mode
 
+    _config_fields = ("bits", "band_bits", "hash_mode")
+
     def _signatures(self, docs: DataFrame) -> DataFrame:
         return docs.select(
             F.col(self.id_col),
@@ -364,16 +411,25 @@ class SimHashIndex(_IncrementalIndex):
     def _derive_pairs(self, spark: SparkSession, new_sigs: DataFrame,
                       prev_round: int | None) -> DataFrame:
         bn = self._banded(new_sigs)
-        hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
-        pairs = (bn.alias("l")
-                 .join(self._maybe_broadcast(bn).alias("r"),
-                       (F.col("l.band") == F.col("r.band"))
-                       & (F.col("l.band_key") == F.col("r.band_key"))
-                       & (F.col(f"l.{self.id_col}")
-                          < F.col(f"r.{self.id_col}")))
-                 .select(F.col(f"l.{self.id_col}").alias("id_a"),
-                         F.col(f"r.{self.id_col}").alias("id_b"),
-                         hamming.alias("hamming")))
+        if self.max_bucket is not None:
+            # batch-side hot-bucket guard (chain pairing — see
+            # guarded_band_pairs: clique-preserving under the verify)
+            pairs = (guarded_band_pairs(bn, self.id_col, self.max_bucket,
+                                        hash_col="sh", distinct=False)
+                     .select("id_a", "id_b",
+                             F.bit_count(F.col("hash_a").bitwiseXOR(
+                                 F.col("hash_b"))).alias("hamming")))
+        else:
+            hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+            pairs = (bn.alias("l")
+                     .join(self._maybe_broadcast(bn).alias("r"),
+                           (F.col("l.band") == F.col("r.band"))
+                           & (F.col("l.band_key") == F.col("r.band_key"))
+                           & (F.col(f"l.{self.id_col}")
+                              < F.col(f"r.{self.id_col}")))
+                     .select(F.col(f"l.{self.id_col}").alias("id_a"),
+                             F.col(f"r.{self.id_col}").alias("id_b"),
+                             hamming.alias("hamming")))
         if prev_round is not None:
             index = self.store.read(spark, self.table, prev_round)
             bi = self._trim_hot_index_buckets(self._banded(index),
@@ -429,6 +485,9 @@ class ParagraphIndex(_IncrementalIndex):
         super().__init__(store, table, id_col, text_col,
                          compact_every=compact_every)
         self.delimiter = PARA_DELIM if delimiter is None else delimiter
+
+    def _config_signature(self) -> str:
+        return f"delimiter={self.delimiter!r}"
 
     def index(self, spark: SparkSession) -> DataFrame | None:
         return self.signatures(spark)
@@ -576,6 +635,8 @@ class EmbeddingIndex(_IncrementalIndex):
                 index, self._maybe_broadcast(probed),
                 strict_less=False))
         return pairs.distinct()
+
+    _band_key_cols = ("bucket",)
 
     def _banded_index(self, sigs: DataFrame) -> DataFrame:
         return sigs

@@ -35,6 +35,10 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashutil import POLY64 as _RK_BASE
+from .hashutil import POLY64_INV as _RK_BASE_INV
+from .hashutil import splitmix64 as _splitmix64
+
 PARA_DELIM = "\n\n"
 
 
@@ -128,10 +132,9 @@ def drop_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
 # Substring-level (n-gram span) repetition — finer than paragraphs
 # ---------------------------------------------------------------------------
 
-# Rabin-Karp base for the vectorized rolling selector: odd (invertible
-# mod 2^64) so prefix differences can be rebased with the modular inverse.
-_RK_BASE = 0x100000001B3          # FNV-1a prime, odd
-_RK_BASE_INV = pow(_RK_BASE, -1, 1 << 64)
+# Rabin-Karp base for the vectorized rolling selector: POLY64 is odd
+# (invertible mod 2^64) so prefix differences can be rebased with the
+# modular inverse (see hashutil).
 
 
 def _rolling_window_hashes(cp, width):
@@ -162,11 +165,8 @@ def _rolling_window_hashes(cp, width):
         win[0] = pref[width - 1]
         win[1:] = pref[width:] - pref[:n_win - 1]
         h = win * bpow[width - 1:]
-        # splitmix64-style finalizer: low bits become uniform
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(29)
-    return h
+    # shared finalizer: low bits become uniform (hashutil.splitmix64)
+    return _splitmix64(h)
 
 
 def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
@@ -299,7 +299,14 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 
     if selector not in ("md5", "rolling"):
         raise ValueError(f"selector must be 'md5' or 'rolling': {selector}")
-    rolling = selector == "rolling" and stride == 1
+    if selector == "rolling" and stride != 1:
+        # falling back to md5 silently would change both the cost
+        # profile (per-window Python) and the span_hash namespace
+        raise ValueError("selector='rolling' requires stride=1 — "
+                         "use sample_mod for density control (content-"
+                         "defined, alignment-robust; aligned stride "
+                         "sampling is the md5 selector's mode)")
+    rolling = selector == "rolling"
 
     if rolling:
         flat = _span_occurrences_rolling(df, id_col, text_col, width,

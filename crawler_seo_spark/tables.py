@@ -449,7 +449,15 @@ class SnapshotStore:
         touched because its file-list still references its dirs. Returns
         the deleted dirs. Run it after :meth:`compact` — superseded
         per-round delta dirs become unreferenced once the historical
-        lists that pointed at them expire."""
+        lists that pointed at them expire.
+
+        ``before_round`` is CLAMPED to the committed round: an
+        off-by-one caller (``manifest_round + 1``) must never remove the
+        current snapshot's file-list — without the clamp the second loop
+        would then rmtree the live data dirs it referenced."""
+        m = self.manifest()
+        if m is not None:
+            before_round = min(before_round, m["round"])
         tdir = os.path.join(self.root, table)
         if not os.path.isdir(tdir):
             return []

@@ -207,3 +207,18 @@ def test_sweep_spares_committed_dirs_referenced_by_staged_lists(spark,
     assert os.path.isdir(legacy_dir)        # committed data SURVIVES
     assert not os.path.isdir(staged_dir)    # writer-scoped delta swept
     assert SnapshotStore(root).read(spark, "idx", 0).count() == 4
+
+
+def test_expire_snapshots_clamped_to_committed_round(spark, tmp_path):
+    """Code-review r5: before_round beyond the committed round must not
+    delete the CURRENT snapshot's file-list/data (off-by-one callers)."""
+    from crawler_seo_spark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "t"))
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    for rid in range(3):
+        store.append("tbl", df, rid, parent_round=rid - 1 if rid else None)
+        store.commit_round(rid, {})
+    store.expire_snapshots("tbl", before_round=99)   # clamped to 2
+    back = store.read(spark, "tbl", 2)
+    assert back.count() == 30                        # current intact

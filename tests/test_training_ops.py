@@ -867,3 +867,68 @@ def test_drop_repeated_spans_scrubs_every_copy(spark):
              for r in drop_repeated_spans(docs, width=40,
                                           selector="rolling").collect()}
     assert out_r == out
+
+
+def test_hot_bucket_chain_pairing_survives_verify(spark):
+    """Code-review r5: with a verify filter downstream, star pairing
+    drops ALL pairs of a member far from the representative even when it
+    is near its neighbors. Chain pairing (sorted by hash) keeps the
+    near pair: rep hash 0, members 7 and 6 — hamming(7,6)=1 but
+    hamming(0,7)=3 > max_hamming=2."""
+    from crawler_seo_spark.operators.dedup import guarded_band_pairs
+
+    rows = [(1, 0, 0, 99), (2, 7, 0, 99), (3, 6, 0, 99)]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, sh long, band int, band_key long")
+    pairs = guarded_band_pairs(banded, "doc_id", max_bucket=2,
+                               hash_col="sh", distinct=False)
+    got = {(r["id_a"], r["id_b"])
+           for r in pairs.select(
+               "id_a", "id_b",
+               F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+               .alias("h")).filter("h <= 2").collect()}
+    assert (2, 3) in got                     # the near pair survives
+    # and the whole true cluster {1,3,2} stays connected through
+    # verified chain edges (0-6 h=2, 6-7 h=1)
+    assert (1, 3) in got
+
+
+def test_incremental_index_config_guard(spark, tmp_path):
+    """Code-review r5: reopening a persisted index with a different
+    signature config must raise, not silently band-mismatch."""
+    import pytest as _pytest
+    from crawler_seo_spark.operators.incremental import SignatureIndex
+    from crawler_seo_spark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "idx"))
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words " * 3)
+         for i in range(10)], "doc_id long, text string")
+    SignatureIndex(store).ingest(spark, docs)
+
+    # same config reopens fine
+    SignatureIndex(store).ingest(
+        spark, docs.withColumn("doc_id", F.col("doc_id") + 10))
+
+    with _pytest.raises(ValueError, match="config"):
+        SignatureIndex.oracle_parity(store).ingest(
+            spark, docs.withColumn("doc_id", F.col("doc_id") + 20))
+
+
+def test_ingest_batch_hot_bucket_guard(spark, tmp_path):
+    """Code-review r5: a template-degenerate INGEST BATCH must not be
+    quadratic — the new×new self-join takes the same guard as the
+    index side."""
+    from crawler_seo_spark.operators.incremental import SignatureIndex
+    from crawler_seo_spark.tables import SnapshotStore
+
+    n = 300
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate template page content here")
+         for i in range(n)], "doc_id long, text string")
+    store = SnapshotStore(str(tmp_path / "idx"))
+    idx = SignatureIndex(store, max_bucket=50)
+    pairs = idx.ingest(spark, docs)
+    c = pairs.count()
+    # linear guard: ≈ n-1 chain/star pairs, far below n(n-1)/2 = 44850
+    assert c < 3 * n
