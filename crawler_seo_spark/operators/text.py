@@ -214,3 +214,43 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         & F.col("pass_symbol_ratio") & F.col("pass_bullet_lines")
         & F.col("pass_ellipsis_lines") & F.col("pass_alpha_words")
         & F.col("pass_stopwords"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass a training pipeline runs before the
+# final mix (regex families chosen to be portable across Java regex and
+# RE2/DuckDB: no lookbehind, no backrefs)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, pattern, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4 addresses / international-format phone
+    numbers with redaction tokens and count each kind. Counts are
+    matches against the ORIGINAL text per pattern; replacement applies
+    the patterns in the fixed ``PII_PATTERNS`` order (email first, so
+    an address never survives inside a larger match). Pure Catalyst —
+    ``regexp_replace``/``regexp_count`` run in whole-stage codegen, and
+    the same expressions reproduce verbatim in the DuckDB oracle.
+
+    Scope note (deliberate): the phone family matches only
+    ``+``-prefixed international format — the bare 10-digit forms
+    collide with ids/quantities at an unacceptable false-positive rate
+    for corpus scrubbing; callers needing locale rules extend
+    ``PII_PATTERNS``."""
+    t = F.col(text_col)
+    scrubbed = t
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat))
+                      .cast("int").alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select("*", scrubbed.alias(f"{text_col}_scrubbed"),
+                     *counts)

@@ -1185,6 +1185,54 @@ def s_pq_encode(spark, sf_dir):
                     .alias("block", "code")))
 
 
+@q("t_pii_scrub", r"""
+WITH base AS (SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+      THEN ' contact u' || doc_id::VARCHAR || '@ex.com or +1555'
+           || lpad(doc_id::VARCHAR, 7, '0') || ' ip 10.0.'
+           || (doc_id % 256)::VARCHAR || '.7'
+      ELSE '' END AS text
+  FROM documents),
+s AS (SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+      AS n_email,
+    len(regexp_extract_all(text,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+    len(regexp_extract_all(text, '\+\d[\d().-]{7,}\d'))::INT AS n_phone,
+    regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\+\d[\d().-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+  FROM base)
+SELECT doc_id, text_scrubbed, n_email, n_ipv4, n_phone FROM s
+""")
+def t_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / international phones → tokens)
+    with per-kind counts — every fifth doc carries synthesized PII, the
+    rest only chance matches. Patterns are Java-regex/RE2 portable (no
+    lookbehind/backrefs) so the DuckDB oracle reproduces the scrub
+    byte-for-byte."""
+    from ..operators.text import scrub_pii
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact u"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@ex.com or +1555"),
+                            F.lpad(F.col("doc_id").cast("string"), 7,
+                                   "0"),
+                            F.lit(" ip 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".7")))
+            .otherwise(F.lit(""))).alias("text"))
+    return scrub_pii(base).select("doc_id", "text_scrubbed", "n_email",
+                                  "n_ipv4", "n_phone")
+
+
 @q("t_gopher_quality_flags", r"""
 WITH base AS (SELECT doc_id, text FROM documents),
 feat AS (SELECT doc_id,

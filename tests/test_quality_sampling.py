@@ -62,3 +62,26 @@ def test_sample_mix_deterministic_and_monotone(spark):
 
     # a different salt draws a genuinely different sample
     assert ids(0.5, 0.2, salt="mix-v2") != half
+
+
+def test_pii_scrub_tokens_and_counts(spark):
+    from crawler_seo_spark.operators.text import scrub_pii
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@site.co.uk now, server 192.168.0.1, "
+             "call +1(555)123-4567 twice"),
+         (1, "no pii here, just 3.14 and version 1.2.3.4.5"),
+         (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[0]["n_email"] == 1
+    assert out[0]["n_ipv4"] == 1
+    assert out[0]["n_phone"] == 1
+    assert "<EMAIL>" in out[0]["text_scrubbed"]
+    assert "<IP>" in out[0]["text_scrubbed"]
+    assert "<PHONE>" in out[0]["text_scrubbed"]
+    assert "a.b+c@site.co.uk" not in out[0]["text_scrubbed"]
+    # 1.2.3.4.5 contains a \b-bounded 1.2.3.4? trailing '.5' breaks the
+    # word boundary only after the final digit — count what the regex
+    # actually does, deterministically on both engines
+    assert out[1]["n_email"] == 0 and out[1]["n_phone"] == 0
+    assert out[2]["text_scrubbed"] == ""
