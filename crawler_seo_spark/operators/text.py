@@ -254,3 +254,126 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select("*", scrubbed.alias(f"{text_col}_scrubbed"),
                      *counts)
+
+
+def gopher_repetition_flags(df: DataFrame, text_col: str = "text",
+                            max_dup_line_frac: float = 0.30,
+                            max_dup_line_char_frac: float = 0.20,
+                            max_dup_para_frac: float = 0.30,
+                            max_dup_para_char_frac: float = 0.20,
+                            max_top2gram_char_frac: float = 0.20,
+                            max_dup5gram_char_frac: float = 0.15) \
+        -> DataFrame:
+    """WITHIN-document repetition signals (the second half of the Gopher
+    rule set; the corpus-level repeats are the span/paragraph dedup
+    family). Exact definitions (all fractions rounded to 6 dp, 0 for
+    empty documents; the DuckDB oracle reproduces them value-for-value):
+
+    * lines / paragraphs: ``\\n`` / ``\\n\\n`` splits, trimmed,
+      non-empty. ``dup_*_frac`` counts occurrences beyond each group's
+      first (Σ (c−1) over groups with c>1, over total); ``*_char_frac``
+      weighs those occurrences by their character length over total
+      line/paragraph characters.
+    * ``top2gram_char_frac``: over normalized-token word 2-grams, the
+      maximum of ``count × gram_length`` divided by the normalized text
+      length — "the 2-gram covering the most characters" (max of the
+      product, not argmax-of-count, so the metric is deterministic
+      under count ties on every engine).
+    * ``dup5gram_char_frac``: Σ ``count × gram_length`` over word
+      5-grams occurring more than once, divided by normalized length
+      (overlapping occurrences double-count characters — the standard
+      form of this rule; values may exceed 1 on degenerate docs).
+
+    Kernel: one Arrow pandas UDF computes all six signals in a single
+    per-document pass (Counter over lines/paragraphs/grams — within-doc
+    signals need no shuffle at all); the flags are Catalyst columns."""
+    import pandas as pd
+
+    @F.pandas_udf("struct<dup_line_frac:double,dup_line_char_frac:double,"
+                  "dup_para_frac:double,dup_para_char_frac:double,"
+                  "top2gram_char_frac:double,dup5gram_char_frac:double>")
+    def signals(texts, norms):
+        import math
+        from collections import Counter
+
+        def r6(x):
+            # half-AWAY-from-zero at 6 dp — what SQL round() does on
+            # both engines; Python's round() is banker's and diverges on
+            # exact binary ties like 13/128 = 0.1015625
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        rows = []
+        for t, nm in zip(texts, norms):
+            t = t or ""
+            nm = nm or ""
+
+            def dup_stats(parts):
+                # strip SPACES only — SQL trim() (DuckDB/Spark) does not
+                # touch \t/\r, so neither may the kernel
+                parts = [p.strip(" ") for p in parts]
+                parts = [p for p in parts if p]
+                if not parts:
+                    return 0.0, 0.0
+                c = Counter(parts)
+                extra = sum(v - 1 for v in c.values() if v > 1)
+                extra_ch = sum((v - 1) * len(k)
+                               for k, v in c.items() if v > 1)
+                tot_ch = sum(len(p) for p in parts)
+                return (r6(extra / len(parts)),
+                        r6(extra_ch / tot_ch) if tot_ch else 0.0)
+
+            lf, lcf = dup_stats(t.split("\n"))
+            pf, pcf = dup_stats(t.split("\n\n"))
+            toks = nm.split(" ") if nm else []
+            n_ch = len(nm)
+            top2 = 0.0
+            dup5 = 0.0
+            if n_ch:
+                if len(toks) >= 2:
+                    g2 = Counter(" ".join(toks[i:i + 2])
+                                 for i in range(len(toks) - 1))
+                    top2 = r6(max(v * len(k)
+                                  for k, v in g2.items()) / n_ch)
+                if len(toks) >= 5:
+                    g5 = Counter(" ".join(toks[i:i + 5])
+                                 for i in range(len(toks) - 4))
+                    dup5 = r6(sum(v * len(k) for k, v in g5.items()
+                                  if v > 1) / n_ch)
+            rows.append((lf, lcf, pf, pcf, top2, dup5))
+        return pd.DataFrame(rows, columns=[
+            "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+            "dup_para_char_frac", "top2gram_char_frac",
+            "dup5gram_char_frac"])
+
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)),
+                         r"[^\p{L}\p{N}]+", " "), r"\s+", " "))
+    out = df.withColumn("_s", signals(F.col(text_col), norm))
+    for f in ("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+              "dup_para_char_frac", "top2gram_char_frac",
+              "dup5gram_char_frac"):
+        out = out.withColumn(f, F.col(f"_s.{f}"))
+    return (out.drop("_s")
+            .withColumn("pass_dup_lines",
+                        F.col("dup_line_frac") <= max_dup_line_frac)
+            .withColumn("pass_dup_line_chars",
+                        F.col("dup_line_char_frac")
+                        <= max_dup_line_char_frac)
+            .withColumn("pass_dup_paras",
+                        F.col("dup_para_frac") <= max_dup_para_frac)
+            .withColumn("pass_dup_para_chars",
+                        F.col("dup_para_char_frac")
+                        <= max_dup_para_char_frac)
+            .withColumn("pass_top2gram",
+                        F.col("top2gram_char_frac")
+                        <= max_top2gram_char_frac)
+            .withColumn("pass_dup5gram",
+                        F.col("dup5gram_char_frac")
+                        <= max_dup5gram_char_frac)
+            .withColumn("keep_repetition",
+                        F.col("pass_dup_lines")
+                        & F.col("pass_dup_line_chars")
+                        & F.col("pass_dup_paras")
+                        & F.col("pass_dup_para_chars")
+                        & F.col("pass_top2gram")
+                        & F.col("pass_dup5gram")))

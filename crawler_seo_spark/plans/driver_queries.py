@@ -1185,6 +1185,100 @@ def s_pq_encode(spark, sf_dir):
                     .alias("block", "code")))
 
 
+@q("t_gopher_repetition", r"""
+WITH base AS (SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+      THEN text || chr(10) || 'repeated filler line' || chr(10)
+           || 'repeated filler line' || chr(10) || 'repeated filler line'
+      ELSE text END AS text
+  FROM documents),
+norm AS (SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nm
+  FROM base),
+ln AS (SELECT doc_id, trim(x) AS p
+       FROM norm, unnest(string_split(text, chr(10))) AS u(x)
+       WHERE trim(x) <> ''),
+lg AS (SELECT doc_id, p, count(*) AS c FROM ln GROUP BY doc_id, p),
+lstat AS (SELECT doc_id,
+    round(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::DOUBLE
+          / sum(c), 6) AS dup_line_frac,
+    CASE WHEN sum(c * length(p)) = 0 THEN 0.0
+         ELSE round(sum(CASE WHEN c > 1 THEN (c - 1) * length(p)
+                        ELSE 0 END)::DOUBLE / sum(c * length(p)), 6)
+    END AS dup_line_char_frac
+  FROM lg GROUP BY doc_id),
+pr AS (SELECT doc_id, trim(x) AS p
+       FROM norm, unnest(string_split(text, chr(10) || chr(10))) AS u(x)
+       WHERE trim(x) <> ''),
+pg AS (SELECT doc_id, p, count(*) AS c FROM pr GROUP BY doc_id, p),
+pstat AS (SELECT doc_id,
+    round(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::DOUBLE
+          / sum(c), 6) AS dup_para_frac,
+    CASE WHEN sum(c * length(p)) = 0 THEN 0.0
+         ELSE round(sum(CASE WHEN c > 1 THEN (c - 1) * length(p)
+                        ELSE 0 END)::DOUBLE / sum(c * length(p)), 6)
+    END AS dup_para_char_frac
+  FROM pg GROUP BY doc_id),
+tk AS (SELECT doc_id, string_split(nm, ' ') AS toks, length(nm) AS n_ch
+       FROM norm WHERE length(nm) > 0),
+g2 AS (SELECT doc_id, n_ch,
+              array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+       FROM tk CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) u
+       WHERE i + 1 <= len(toks)),
+g2c AS (SELECT doc_id, n_ch, g, count(*) AS c
+        FROM g2 GROUP BY doc_id, n_ch, g),
+t2 AS (SELECT doc_id, round(max(c * length(g))::DOUBLE / n_ch, 6)
+         AS top2gram_char_frac
+       FROM g2c GROUP BY doc_id, n_ch),
+g5 AS (SELECT doc_id, n_ch,
+              array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+       FROM tk CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) u
+       WHERE i + 4 <= len(toks)),
+g5c AS (SELECT doc_id, n_ch, g, count(*) AS c
+        FROM g5 GROUP BY doc_id, n_ch, g),
+d5 AS (SELECT doc_id,
+    round(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)::DOUBLE
+          / n_ch, 6) AS dup5gram_char_frac
+       FROM g5c GROUP BY doc_id, n_ch)
+SELECT b.doc_id,
+       coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(ps.dup_para_frac, 0.0) AS dup_para_frac,
+       coalesce(ps.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+       coalesce(t2.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+       coalesce(d5.dup5gram_char_frac, 0.0) AS dup5gram_char_frac,
+       (coalesce(l.dup_line_frac, 0.0) <= 0.30
+        AND coalesce(l.dup_line_char_frac, 0.0) <= 0.20
+        AND coalesce(ps.dup_para_frac, 0.0) <= 0.30
+        AND coalesce(ps.dup_para_char_frac, 0.0) <= 0.20
+        AND coalesce(t2.top2gram_char_frac, 0.0) <= 0.20
+        AND coalesce(d5.dup5gram_char_frac, 0.0) <= 0.15)
+         AS keep_repetition
+FROM base b
+LEFT JOIN lstat l USING (doc_id) LEFT JOIN pstat ps USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+""")
+def t_gopher_repetition(spark, sf_dir):
+    """Within-document repetition rules (Gopher second half): duplicate
+    line/paragraph fractions (count- and char-weighted), top-2-gram
+    char coverage, duplicated-5-gram char coverage, and the combined
+    keep flag. Every seventh doc gets three injected duplicate lines."""
+    from ..operators.text import gopher_repetition_flags
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\nrepeated filler line\nrepeated filler "
+                              "line\nrepeated filler line")))
+        .otherwise(F.col("text")).alias("text"))
+    return gopher_repetition_flags(base).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top2gram_char_frac", "dup5gram_char_frac",
+        "keep_repetition")
+
+
 @q("t_pii_scrub", r"""
 WITH base AS (SELECT doc_id,
     text || CASE WHEN doc_id % 5 = 0

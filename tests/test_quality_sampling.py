@@ -85,3 +85,31 @@ def test_pii_scrub_tokens_and_counts(spark):
     # actually does, deterministically on both engines
     assert out[1]["n_email"] == 0 and out[1]["n_phone"] == 0
     assert out[2]["text_scrubbed"] == ""
+
+
+def test_gopher_repetition_signals(spark):
+    from crawler_seo_spark.operators.text import gopher_repetition_flags
+
+    vocab = ("apple boat cloud door eagle frost grape hill ink jug kite "
+             "lamp moon nest opal pine quartz rose star tree urn vase "
+             "wolf xylo yarn zinc amber briar cedar dusk ember").split()
+    clean = "\n".join(
+        " ".join(vocab[(3 * i + j) % len(vocab)] for j in range(3))
+        for i in range(10))
+    dup_lines = "\n".join(["repeated line content here"] * 6
+                          + ["one unique line"])
+    loop2gram = " ".join(["foo bar"] * 40)
+    df = spark.createDataFrame(
+        [(0, clean), (1, dup_lines), (2, loop2gram), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition_flags(df).collect()}
+
+    assert out[0]["dup_line_frac"] == 0.0
+    assert out[0]["keep_repetition"]
+    # 6 copies -> 5 beyond-first of 7 lines
+    assert out[1]["dup_line_frac"] == round(5 / 7, 6)
+    assert not out[1]["pass_dup_lines"]
+    assert out[2]["top2gram_char_frac"] > 0.2
+    assert not out[2]["pass_top2gram"]
+    assert out[2]["dup5gram_char_frac"] > 0.15
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["keep_repetition"]
