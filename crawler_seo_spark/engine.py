@@ -584,10 +584,13 @@ class CrawlEngine:
                                        F.col("crawl_delay")
                                        .alias("crawl_delay_s")))
             eff_rps = cfg.requests_per_second
-            if cooperative:
+            if cooperative and cfg.requests_per_second < 1e8:
                 # rps split across registered writers (see run() preamble);
                 # re-read per round so a writer joining mid-crawl tightens
-                # the split from the next round boundary
+                # the split from the next round boundary. Only FINITE
+                # budgets split: dividing the unlimited sentinel (≥1e8)
+                # is meaningless and would knock a cooperative replay off
+                # the zero-offset fast path (r5 advisor finding)
                 n_w = len(self.store.registered_writers())
                 if n_w > 1:
                     eff_rps = cfg.requests_per_second / n_w

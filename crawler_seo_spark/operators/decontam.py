@@ -60,7 +60,12 @@ def word_ngrams_col(text: Column, n: int) -> Column:
                         for i in range(len(tl) - n + 1)])
         return pd.Series(out)
 
-    return _grams(F.split(normalized_text_col(text), " "))
+    # empty tokens filtered exactly like word_ngram_keys_col (r5 advisor
+    # finding): a whitespace-only document must yield NO grams on either
+    # key path (split("") produces [""], which at n=1 became one ''-gram
+    # here while the hash path produced none)
+    return _grams(F.filter(F.split(normalized_text_col(text), " "),
+                           lambda t: t != ""))
 
 
 def word_ngram_keys_col(text: Column, n: int) -> Column:
@@ -85,22 +90,39 @@ def word_ngram_keys_col(text: Column, n: int) -> Column:
                     lambda t: t != "")
     tok = F.transform(toks, lambda t: F.xxhash64(t, F.lit(42)))
 
+    # Batch form (r6): one windowed polynomial combine over the batch's
+    # CONCATENATED token-hash stream, per-doc key arrays sliced back out
+    # (windows never cross a doc boundary — each doc's slice starts at
+    # its own offset and stops n-1 short of its end). A window's value
+    # only reads its own n tokens, so keys are identical to the r5
+    # per-document form, which paid ~n numpy dispatches per document.
     @F.pandas_udf("array<long>")
     def _keys(hh: pd.Series) -> pd.Series:
         import numpy as np
         base = np.uint64(_GRAM_POLY)
-        out = []
-        for h in hh:
+        out = [None] * len(hh)
+        arrs, idx = [], []
+        for i, h in enumerate(hh):
             if h is None or len(h) < n:
-                out.append([])
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+                out[i] = []
+            else:
+                arrs.append(np.asarray(h, dtype=np.int64).view(np.uint64))
+                idx.append(i)
+        if arrs:
+            lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            big = np.concatenate(arrs)
+            T = len(big)
             with np.errstate(over="ignore"):
-                acc = hv[: len(hv) - n + 1].copy()
+                acc = big[: T - n + 1].copy()
                 for j in range(1, n):
-                    acc = acc * base + hv[j: len(hv) - n + 1 + j]
+                    acc = acc * base + big[j: T - n + 1 + j]
             # shared finalizer (hashutil.splitmix64): uniform 64-bit keys
-            out.append(_splitmix64(acc).astype(np.int64))
+            keys = _splitmix64(acc).astype(np.int64)
+            for d, i in enumerate(idx):
+                s = starts[d]
+                out[i] = keys[s: s + lens[d] - n + 1]
         return pd.Series(out)
 
     return _keys(tok)
@@ -108,6 +130,8 @@ def word_ngram_keys_col(text: Column, n: int) -> Column:
 
 def _distinct_grams(df: DataFrame, id_col: str | None, text_col: str,
                     n: int, key: str) -> DataFrame:
+    from .partitioning import widen_small_input
+    df = widen_small_input(df)
     gram = (word_ngram_keys_col if key == "hash"
             else word_ngrams_col)(F.col(text_col), n)
     cols = ([F.col(id_col)] if id_col else []) + [

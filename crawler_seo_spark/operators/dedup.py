@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import widen_small_input
 from .text import fingerprint_col
 
 MERSENNE31 = (1 << 31) - 1  # modulus for affine MinHash permutations
@@ -69,6 +70,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups by content fingerprint: one row per group with
     size > 1, canonical keeper = min id (deterministic)."""
+    df = widen_small_input(df)
     fp = df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp"))
     return (fp.groupBy("fp")
               .agg(F.count("*").alias("dup_count"),
@@ -144,6 +146,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
       across lambdas; measured and rejected.)
     """
     params = minhash_params(k, seed)
+    df = widen_small_input(df)
     if shingle_mode == "word":
         # word shingles: token hashes JVM-side, windowed polynomial
         # combination + k-min in numpy (shingle hash = Σ h[i+j]·P^j mod M)
@@ -153,24 +156,57 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         b_vec = np.array([b for _, b in params], dtype=np.int64)
         n = shingle_n
 
+        # Batch form (r6): windowed shingle combine over the batch's
+        # CONCATENATED token-hash stream (within-doc windows only — the
+        # per-doc segments are sliced back out), then the k-way min as
+        # k segmented reductions. The r5 per-row loop paid ~6 numpy
+        # dispatches + a (win × k) allocation per document; this form is
+        # ~(n-1)+k linear passes per batch. Values are identical: the
+        # windowed combine only reads a window's own tokens, and
+        # min-reduceat computes the same per-segment minima.
         @F.pandas_udf("array<long>")
         def _minhash_word(hh: pd.Series) -> pd.Series:
-            out = []
-            for h in hh:
+            M = MERSENNE31
+            out = [None] * len(hh)
+            arrs, idx = [], []
+            for i, h in enumerate(hh):
                 if h is None or len(h) == 0:
-                    out.append([MERSENNE31] * len(a_vec))
-                    continue
-                hv = np.asarray(h, dtype=np.int64)
-                if len(hv) >= n:
-                    sh = hv[: len(hv) - n + 1].copy()
-                    for j in range(1, n):
-                        sh = (sh * _SHINGLE_POLY
-                              + hv[j: len(hv) - n + 1 + j]) % MERSENNE31
+                    out[i] = np.full(len(a_vec), M, dtype=np.int64)
                 else:
-                    sh = hv % MERSENNE31
-                sig = ((sh[:, None] * a_vec[None, :] + b_vec[None, :])
-                       % MERSENNE31).min(axis=0)
-                out.append(sig.tolist())
+                    arrs.append(np.asarray(h, dtype=np.int64))
+                    idx.append(i)
+            if arrs:
+                lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+                starts = np.zeros(len(arrs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                big = np.concatenate(arrs)
+                T = len(big)
+                if T >= n:
+                    sh_all = big[: T - n + 1].copy()
+                    for j in range(1, n):
+                        sh_all = (sh_all * _SHINGLE_POLY
+                                  + big[j: T - n + 1 + j]) % M
+                segs = []
+                seg_starts = np.empty(len(arrs), dtype=np.int64)
+                w = 0
+                for d in range(len(arrs)):
+                    s, ln = starts[d], lens[d]
+                    if ln >= n:
+                        seg = sh_all[s: s + ln - n + 1]
+                    else:
+                        # short doc: each token hash is its own shingle
+                        # (token hashes are already < M)
+                        seg = big[s: s + ln]
+                    segs.append(seg)
+                    seg_starts[d] = w
+                    w += len(seg)
+                vals = np.concatenate(segs)
+                sig = np.empty((len(arrs), len(a_vec)), dtype=np.int64)
+                for j in range(len(a_vec)):
+                    pv = (vals * a_vec[j] + b_vec[j]) % M
+                    sig[:, j] = np.minimum.reduceat(pv, seg_starts)
+                for d, i in enumerate(idx):
+                    out[i] = sig[d]
             return pd.Series(out)
 
         return df.select(F.col(id_col),
@@ -227,6 +263,10 @@ def banded_keys(signatures: DataFrame, bands: int = 8,
         k = signatures.select(
             F.size("signature").alias("n")).limit(1).collect()[0]["n"]
     rows_per_band = k // bands
+    # NOT widened here: widening would shuffle the signature arrays,
+    # which this operator's design forbids (only (id, band, band_key)
+    # triples may cross an exchange — test_plans pins it); signature
+    # producers (minhash_signatures) widen their own input instead.
     return signatures.select(
         F.col(id_col),
         F.posexplode(F.array(*[
@@ -414,21 +454,34 @@ def simhash64(text: Column, bits: int = 32,
             lambda acc, bit: acc * 2 + bit)
 
     # Arrow path: token hashes JVM-side, majority-bit vote vectorized.
+    # Batch form (r6): concatenate the batch's token-hash arrays once and
+    # take per-document bit counts with segmented reductions — the r5
+    # per-row loop paid ~10 numpy dispatches per (typically ~10^2-token)
+    # document, which dominated the kernel. Values are bit-identical:
+    # same counts, same majority rule, same MSB-first fold.
     @F.pandas_udf("long")
     def _simhash(hh: pd.Series) -> pd.Series:
-        shifts = np.arange(bits, dtype=np.int64)
         out = np.zeros(len(hh), dtype=np.int64)
+        arrs, idx = [], []
         for i, h in enumerate(hh):
-            if h is None or len(h) == 0:
-                continue
-            hv = np.asarray(h, dtype=np.int64)
-            ones = ((hv[:, None] >> shifts[None, :]) & 1).sum(axis=0)
-            bitv = (ones * 2 > len(hv)).astype(np.int64)
-            # bit 0 is most significant (matches the SQL fold acc*2+bit)
-            val = 0
-            for b in bitv:
-                val = (val << 1) | int(b)
-            out[i] = val
+            if h is not None and len(h):
+                arrs.append(np.asarray(h, dtype=np.int64))
+                idx.append(i)
+        if not arrs:
+            return pd.Series(out)
+        lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        big = np.concatenate(arrs)
+        ones = np.empty((len(arrs), bits), dtype=np.int64)
+        for b in range(bits):
+            ones[:, b] = np.add.reduceat((big >> np.int64(b))
+                                         & np.int64(1), starts)
+        bitv = (ones * 2 > lens[:, None]).astype(np.int64)
+        # bit 0 is most significant (matches the SQL fold acc*2+bit)
+        weights = np.int64(1) << (bits - 1
+                                  - np.arange(bits, dtype=np.int64))
+        out[np.asarray(idx)] = bitv @ weights
         return pd.Series(out)
 
     return _simhash(hashes)
@@ -465,6 +518,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     pairing via :func:`guarded_band_pairs` — clique-component-preserving
     under the verify; the exact Hamming verify still applies to every
     emitted pair)."""
+    df = widen_small_input(df)
     h = df.select(F.col(id_col),
                   simhash64(F.col(text_col), bits, hash_mode).alias("sh"))
     banded = hamming_banded_keys(h, id_col, "sh", bits, band_bits)
@@ -493,6 +547,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pair-count aggregation: |A∩B| from a shingle equi-join, |A∪B| =
     |A|+|B|−|A∩B|. The shingle join is the scale limiter — use it as the
     verifier behind :func:`lsh_candidate_pairs` at size."""
+    df = widen_small_input(df)
     sh = (df.select(F.col(id_col),
                     F.explode(F.array_distinct(
                         shingles_col(F.col(text_col), n))).alias("s")))
@@ -569,7 +624,8 @@ def hamming_near_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
     assert max_hamming < bits // band_bits, \
         "pigeonhole needs max_hamming < n_bands"
     banded = hamming_banded_keys(
-        df.select(F.col(id_col), F.col(hash_col).alias("_h")),
+        widen_small_input(df).select(F.col(id_col),
+                                     F.col(hash_col).alias("_h")),
         id_col, "_h", bits, band_bits)
     pairs = guarded_band_pairs(banded, id_col, max_bucket, hash_col="_h",
                                distinct=False)

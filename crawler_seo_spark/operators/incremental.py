@@ -102,7 +102,25 @@ class _IncrementalIndex:
             return
         stored = m.get("counters", {}).get("index_config")
         sig = self._config_signature()
-        if stored is not None and stored != sig:
+        if stored is None:
+            # pre-config-recording index (r5 advisor finding): its layout
+            # is unknown, so silently stamping THIS instance's config on
+            # the next commit would mask a mismatch forever (a word/xxhash
+            # batch never band-collides with a persisted char/md5 index —
+            # the candidate join just goes empty). Surface it loudly; the
+            # next commit then records whatever the caller confirmed.
+            import logging
+            logging.getLogger(__name__).warning(
+                "index table '%s' has committed rounds but no recorded "
+                "index_config (built before config recording) — cannot "
+                "verify it matches this instance's [%s]; if the original "
+                "build used different signature settings the candidate "
+                "join will silently miss duplicates. Re-open with the "
+                "original settings (e.g. SignatureIndex.oracle_parity for "
+                "pre-r5 defaults) or ingest into a fresh table.",
+                self.table, sig)
+            return
+        if stored != sig:
             raise ValueError(
                 f"index table '{self.table}' was built with config "
                 f"[{stored}] but this instance is configured [{sig}] — "
@@ -397,7 +415,8 @@ class SimHashIndex(_IncrementalIndex):
     _config_fields = ("bits", "band_bits", "hash_mode")
 
     def _signatures(self, docs: DataFrame) -> DataFrame:
-        return docs.select(
+        from .partitioning import widen_small_input
+        return widen_small_input(docs).select(
             F.col(self.id_col),
             simhash64(F.col(self.text_col), self.bits,
                       self.hash_mode).alias("sh"))
@@ -583,10 +602,12 @@ class EmbeddingIndex(_IncrementalIndex):
                                               / max(target_bucket, 1), 2))))
 
     def _signatures(self, docs: DataFrame) -> DataFrame:
+        from .partitioning import widen_small_input
         from .similarity import _bucket_udf
         bucket = _bucket_udf(docs.sparkSession.sparkContext, self.planes)
-        return docs.select(F.col(self.id_col), F.col(self.vec_col),
-                           bucket(F.col(self.vec_col)).alias("bucket"))
+        return widen_small_input(docs).select(
+            F.col(self.id_col), F.col(self.vec_col),
+            bucket(F.col(self.vec_col)).alias("bucket"))
 
     def _with_probes(self, new_sigs: DataFrame) -> DataFrame:
         """Explode the NEW side over its probe buckets: the own bucket

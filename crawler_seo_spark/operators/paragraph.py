@@ -12,12 +12,12 @@ Shape (all bucketed, never all-pairs):
 * :func:`mark_duplicate_paragraphs` — the FIRST global occurrence of each
   hash (ordered by ``(doc_id, para_idx)``) is the keeper; every later
   occurrence is a duplicate. First-occurrence selection is
-  ``groupBy(hash).agg(min(struct(doc, idx)))`` — map-side partial combine
-  collapses within-partition repeats before the shuffle (same discipline
-  as the engine's candidate dedup; a window over the hash partition could
-  never combine map-side). The stats path shuffles only
-  ``(hash, doc, idx)`` tuples — paragraph text stays columnar at the
-  scan.
+  ``min(struct(doc, idx)) OVER (PARTITION BY hash)`` — ONE exchange of
+  the occurrence rows on the hash. (The r5 groupBy-then-join form read
+  the occurrence subtree twice — its two consumers hash-partitioned
+  different child plans, so the explode+md5 pipeline executed once per
+  consumer; the map-side combine it bought only shrank the small count
+  exchange, not the duplicated upstream work.)
 * :func:`paragraph_stats` — per-document containment: paragraph count,
   duplicated-paragraph count, duplicate ratio.
 * :func:`drop_duplicate_paragraphs` — the paragraph-dedup'd corpus: keep
@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from .hashutil import POLY64 as _RK_BASE
 from .hashutil import POLY64_INV as _RK_BASE_INV
 from .hashutil import splitmix64 as _splitmix64
+from .partitioning import widen_small_input
 
 PARA_DELIM = "\n\n"
 
@@ -50,6 +51,7 @@ def paragraph_occurrences(df: DataFrame, id_col: str = "doc_id",
     ``para_idx`` is the paragraph's position in the ORIGINAL split (before
     empty-paragraph removal), so reassembly order and the DuckDB oracle's
     ordinality agree."""
+    df = widen_small_input(df)
     return (df.select(
         F.col(id_col),
         # F.split takes a Java regex; the delimiter is a LITERAL string
@@ -66,16 +68,17 @@ def paragraph_occurrences(df: DataFrame, id_col: str = "doc_id",
 def mark_duplicate_paragraphs(occ: DataFrame,
                               id_col: str = "doc_id") -> DataFrame:
     """Add ``is_dup``: true for every occurrence after the global first
-    (ordered by ``(id, para_idx)``) of the same paragraph hash."""
-    firsts = (occ.groupBy("para_hash")
-              .agg(F.min(F.struct(F.col(id_col), F.col("para_idx")))
-                   .alias("_first")))
-    return (occ.join(firsts, "para_hash")
-            .withColumn(
-                "is_dup",
-                ~((F.col(id_col) == F.col(f"_first.{id_col}"))
-                  & (F.col("para_idx") == F.col("_first.para_idx"))))
-            .drop("_first"))
+    (ordered by ``(id, para_idx)``) of the same paragraph hash. One
+    window pass over the hash partitioning — the occurrence subtree is
+    read exactly once (see module docstring)."""
+    from pyspark.sql import Window
+
+    first = F.min(F.struct(F.col(id_col), F.col("para_idx"))) \
+        .over(Window.partitionBy("para_hash"))
+    return occ.withColumn(
+        "is_dup",
+        ~((F.col(id_col) == first[id_col])
+          & (F.col("para_idx") == first["para_idx"])))
 
 
 def paragraph_stats(df: DataFrame, id_col: str = "doc_id",
@@ -188,15 +191,56 @@ def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
 
     t_col = (normalized_text_col(F.col(text_col)) if normalize
              else F.col(text_col))
-    norm = df.select(F.col(id_col).alias("_id"), t_col.alias("_t"))
+    norm = widen_small_input(
+        df.select(F.col(id_col).alias("_id"), t_col.alias("_t")))
     id_dt = norm.schema["_id"].dataType.simpleString()
     mod = sample_mod
+    # chunk bound for the concatenated code-point array: caps the numpy
+    # working set (~6 arrays × 8 B/char) at ~50 MB per task while still
+    # amortizing the per-call numpy overhead over ~10^6 elements — the
+    # r5 per-document form paid ~15 numpy dispatches per (often ~10^3
+    # char) document, which dominated the kernel at bench scale.
+    chunk_chars = 1 << 20
+
+    def _flush(ids_l, texts_l, lens_l, out):
+        """Vectorize ONE chunk: concatenate the docs, roll hashes over
+        the joined array once, and mask windows that cross a document
+        boundary. Window g (global) of the concatenation hashes to
+        exactly the per-document hash of window (g - start_d): the
+        prefix-difference rebase cancels the global offset (see
+        _rolling_window_hashes), so values are identical to the
+        per-document form."""
+        import numpy as np
+        cp = np.frombuffer("".join(texts_l).encode("utf-32-le"),
+                           dtype="<u4").astype(np.uint64)
+        lens = np.asarray(lens_l, dtype=np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        h = _rolling_window_hashes(cp, width)
+        n_win = len(h)
+        # doc index per window start (docs are contiguous; every doc in
+        # this chunk has len >= width)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)[:n_win]
+        valid = (np.arange(n_win) - starts[doc_idx]) <= (lens[doc_idx]
+                                                         - width)
+        if mod is None:
+            sel = np.nonzero(valid)[0]
+        else:
+            sel = np.nonzero(valid & (h % np.uint64(mod)
+                                      == np.uint64(0)))[0]
+        if len(sel):
+            d = doc_idx[sel]
+            out[0].append(np.asarray(ids_l)[d])
+            out[1].append((sel - starts[d] + 1).astype(np.int32))
+            # label only — signed view of the uint64
+            out[2].append(h[sel].astype(np.int64))
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
         for pdf in batches:
-            ids, poss, h64s = [], [], []
+            out = ([], [], [])  # ids, poss, h64s
+            ids_l, texts_l, lens_l, n_ch = [], [], [], 0
             for did, t in zip(pdf["_id"], pdf["_t"]):
                 t = t or ""
                 if not t:
@@ -204,32 +248,30 @@ def _span_occurrences_rolling(df: DataFrame, id_col: str, text_col: str,
                     # blank docs must not "repeat" via md5('')
                     continue
                 if len(t) >= width:
-                    cp = np.frombuffer(t.encode("utf-32-le"),
-                                       dtype="<u4").astype(np.uint64)
-                    h = _rolling_window_hashes(cp, width)
-                    if mod is None:
-                        sel = np.arange(len(h))
-                    else:
-                        sel = np.nonzero(h % np.uint64(mod)
-                                         == np.uint64(0))[0]
-                    if len(sel):
-                        ids.append(np.full(len(sel), did))
-                        poss.append((sel + 1).astype(np.int32))
-                        # label only — signed view of the uint64
-                        h64s.append(h[sel].astype(np.int64))
+                    ids_l.append(did)
+                    texts_l.append(t)
+                    lens_l.append(len(t))
+                    n_ch += len(t)
+                    if n_ch >= chunk_chars:
+                        _flush(ids_l, texts_l, lens_l, out)
+                        ids_l, texts_l, lens_l, n_ch = [], [], [], 0
                 else:
+                    # short docs keep the md5-prefix selection rule
+                    # (cross-engine-stable single whole-text window)
                     dig = hashlib.md5(t.encode()).digest()
                     if mod is None or int.from_bytes(dig[:4],
                                                      "big") % mod == 0:
-                        ids.append(np.full(1, did))
-                        poss.append(np.array([1], dtype=np.int32))
-                        h64s.append(np.frombuffer(dig[:8],
-                                                  dtype=">i8")
-                                    .astype(np.int64))
-            if ids:
-                yield pd.DataFrame({"_id": np.concatenate(ids),
-                                    "pos": np.concatenate(poss),
-                                    "h64": np.concatenate(h64s)})
+                        out[0].append(np.full(1, did))
+                        out[1].append(np.array([1], dtype=np.int32))
+                        out[2].append(np.frombuffer(dig[:8],
+                                                    dtype=">i8")
+                                      .astype(np.int64))
+            if texts_l:
+                _flush(ids_l, texts_l, lens_l, out)
+            if out[0]:
+                yield pd.DataFrame({"_id": np.concatenate(out[0]),
+                                    "pos": np.concatenate(out[1]),
+                                    "h64": np.concatenate(out[2])})
 
     return norm.mapInPandas(kernel,
                             schema=f"_id {id_dt}, pos int, h64 long")
@@ -338,6 +380,7 @@ def span_occurrences(df: DataFrame, id_col: str = "doc_id",
 
     src = (normalized_text_col(F.col(text_col)) if normalize
            else F.col(text_col))
+    df = widen_small_input(df)
     return (df.select(F.col(id_col), spans(src).alias("_s"))
             .select(id_col, F.explode("_s").alias("_e"))
             .select(id_col, F.col("_e.pos").alias("pos"),
@@ -372,25 +415,25 @@ def repeated_span_stats(df: DataFrame, id_col: str = "doc_id",
     span-level containment signal a training pipeline thresholds on
     before the expensive exact-extent pass. Documents whose normalized
     text is empty produce no row (no windows — consistent with
-    paragraph_stats). Shuffles: the count aggregation moves map-side
-    combined (hash, partial-count) rows; the flagging join's right side
-    is pre-filtered to the REPEAT vocabulary only (most hashes in a
-    real corpus are unique — joining the full count table would ship
-    ~|corpus| rows for nothing); one per-doc aggregation. With the
-    production rolling selector the whole pipeline stays on the raw
-    int64 fingerprint (8-byte shuffle keys) — span_hash strings are
-    never built, since they don't appear in the output."""
+    paragraph_stats). Shuffles: ONE exchange of the flat (id, pos, hash)
+    occurrence rows on the 8-byte hash — the corpus-wide occurrence
+    count rides a window over that partitioning, then the per-doc
+    aggregation combines map-side. (The r5 groupBy-then-join form read
+    the occurrence subtree TWICE — its two consumers hash-partitioned
+    different child plans, so no exchange reuse: the span kernel, the
+    dominant cost, executed once per consumer.) With the production
+    rolling selector the whole pipeline stays on the raw int64
+    fingerprint — span_hash strings are never built, since they don't
+    appear in the output."""
+    from pyspark.sql import Window
+
     occ = _raw_or_string_occurrences(df, id_col, text_col, width, stride,
                                      sample_mod, selector)
-    repeated = (occ.groupBy("span_hash")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .select("span_hash"))
-    return (occ.join(repeated.withColumn("_rep", F.lit(1)),
-                     "span_hash", "left")
+    w_h = Window.partitionBy("span_hash")
+    return (occ.withColumn("_n", F.count(F.lit(1)).over(w_h))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0))
+                 F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
                  .alias("n_repeated"))
             .withColumn("repeat_ratio",
                         F.round(F.col("n_repeated") / F.col("n_spans"), 6)))
@@ -416,21 +459,22 @@ def repeated_span_extents(df: DataFrame, id_col: str = "doc_id",
     run). Use ``selector="rolling"`` in production — dense selection is
     a pure numpy pass and the merge needs no strings.
 
-    Scale shape: the repeat-vocabulary join is the same bucketed shape
-    as the stats; the interval merge is one window function partitioned
-    by document (per-doc sequential, distributed across docs — no
-    global ordering anywhere). Reference N/A: the reference has no
-    sub-document repetition analysis (SURVEY.md §2.7 extension).
+    Scale shape: repeat flagging is ONE exchange of the flat occurrence
+    rows on the hash (window count over that partitioning — the r5
+    vocabulary-join form executed the span kernel once per consumer,
+    see repeated_span_stats); the interval merge is one window function
+    partitioned by document (per-doc sequential, distributed across
+    docs — no global ordering anywhere). Reference N/A: the reference
+    has no sub-document repetition analysis (SURVEY.md §2.7 extension).
     """
     from pyspark.sql import Window
 
     occ = _raw_or_string_occurrences(df, id_col, text_col, width, 1,
                                      sample_mod, selector, normalize)
-    repeated = (occ.groupBy("span_hash")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .select("span_hash"))
-    rep_occ = occ.join(repeated, "span_hash").select(id_col, "pos")
+    w_h = Window.partitionBy("span_hash")
+    rep_occ = (occ.withColumn("_n", F.count(F.lit(1)).over(w_h))
+               .filter(F.col("_n") > 1)
+               .select(id_col, "pos"))
     w = Window.partitionBy(id_col).orderBy("pos")
     run_end = F.col("pos") + F.lit(width - 1)
     prev_max_end = F.max(run_end).over(

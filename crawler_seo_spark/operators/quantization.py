@@ -60,6 +60,8 @@ def pq_encode_with(corpus: DataFrame, codebook,
     broadcast codebook. Distance uses the expanded form
     ``|x|² + |c|² − 2·x·c`` (identical formula in the DuckDB oracle so
     float orderings agree); ties break to the lowest code."""
+    from .partitioning import widen_small_input
+    corpus = widen_small_input(corpus)
     cb = _as_codebook(codebook)
     m, k, dsub = cb.shape
     sc = corpus.sparkSession.sparkContext
@@ -233,6 +235,8 @@ def ivfpq_search(codes_df: DataFrame, centroids, codebook,
     Ties break to the lower vec_id (brute_force_topk contract)."""
     from pyspark.sql import Window
 
+    from .partitioning import widen_small_input
+    codes_df = widen_small_input(codes_df)
     cb = _as_codebook(codebook)
     m, kk, dsub = cb.shape
     C = np.asarray(centroids, dtype=np.float64)

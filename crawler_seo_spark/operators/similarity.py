@@ -61,9 +61,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      query_id_col: str = "query_id") -> DataFrame:
     """Exact top-k by cosine: broadcast the queries, score every corpus row,
     rank per query. Deterministic tie-break by corpus id."""
+    from .partitioning import widen_small_input
     q = queries.select(F.col(query_id_col),
                        F.col(vec_col).alias("_qv"))
-    scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = (widen_small_input(corpus)
+              .select(F.col(id_col), F.col(vec_col).alias("_cv"))
               .crossJoin(F.broadcast(q))
               .select(query_id_col, id_col,
                       cosine_col(F.col("_cv"), F.col("_qv")).alias("cosine")))
@@ -124,10 +126,12 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    from .partitioning import widen_small_input
     planes = hyperplanes(dim, n_planes, seed)
     bucket = _bucket_udf(corpus.sparkSession.sparkContext, planes)
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
-                      bucket(F.col(vec_col)).alias("_bucket"))
+    c = (widen_small_input(corpus)
+         .select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                 bucket(F.col(vec_col)).alias("_bucket")))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
                        bucket(F.col(vec_col)).alias("_bucket"))
     scored = (c.join(F.broadcast(q), "_bucket")
@@ -228,6 +232,8 @@ def ivf_assign_with(corpus: DataFrame, centroids: list[list[float]],
     :func:`ivf_assign` so callers with externally chosen centroids (tests,
     the SQL-oracle query, :func:`kmeans_iterate`) share the assignment
     plan."""
+    from .partitioning import widen_small_input
+    corpus = widen_small_input(corpus)
     bc = _centroid_broadcast(corpus, centroids)
 
     @pandas_udf("int")

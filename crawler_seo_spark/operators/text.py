@@ -81,8 +81,12 @@ def quality_columns(text: Column) -> dict[str, Column]:
     comparability)."""
     n = F.greatest(F.length(text), F.lit(1))
     punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    # digit/upper counts: the regex classes are exact ASCII sets, so a
+    # single-pass translate-delete (no regex engine) counts identically
+    # to length(regexp_replace(text, '[^0-9]'/'[^A-Z]', ''))
+    digits = F.length(text) - F.length(F.translate(text, "0123456789", ""))
+    upper = F.length(text) - F.length(
+        F.translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
     tokens = token_count_col(text)
     mean_tok = F.round(F.length(text) / F.greatest(tokens, F.lit(1)), 6)
     return {
@@ -120,7 +124,11 @@ def fingerprint_col(text: Column) -> Column:
 
 
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column set."""
+    """Attach the full text-analysis column set. The projection is
+    regex-heavy per row, so a tiny single-file input is widened first
+    (guide §2.5 — otherwise the whole pass runs in one scan task)."""
+    from .partitioning import widen_small_input
+    df = widen_small_input(df)
     t = F.col(text_col)
     q = quality_columns(t)
     out = df
@@ -161,6 +169,8 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     ratio (``#`` and ``...``); bullet-started line fraction;
     ellipsis-ended line fraction; alphabetic-word fraction; minimum
     distinct-stopword kinds present."""
+    from .partitioning import widen_small_input
+    df = widen_small_input(df)
     t = F.col(text_col)
     trimmed = F.trim(t)
     words = F.when(trimmed == "", F.array().cast("array<string>")) \
@@ -245,6 +255,8 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     collide with ids/quantities at an unacceptable false-positive rate
     for corpus scrubbing; callers needing locale rules extend
     ``PII_PATTERNS``."""
+    from .partitioning import widen_small_input
+    df = widen_small_input(df)
     t = F.col(text_col)
     scrubbed = t
     counts = []
@@ -345,6 +357,8 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text",
             "dup_para_char_frac", "top2gram_char_frac",
             "dup5gram_char_frac"])
 
+    from .partitioning import widen_small_input
+    df = widen_small_input(df)
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)),
                          r"[^\p{L}\p{N}]+", " "), r"\s+", " "))

@@ -175,7 +175,11 @@ def _raw_urls(spark, sf_dir) -> DataFrame:
         .when(k == 5, F.concat(F.lit(f"{BASE}/page/info-"), d, F.lit("?b=2&a=1")))
         .when(k == 6, F.concat(F.lit(f"{BASE}/assets/img-"), d, F.lit(".png")))
         .otherwise(F.concat(F.lit(f"{BASE}/checkout/cart/add/"), d)))
-    return _t(spark, sf_dir, "documents").select("doc_id", raw.alias("raw_url"))
+    from ..operators.partitioning import widen_small_input
+    # the canonicalization pandas UDF downstream is the cost of every URL
+    # query — widen the single-file scan so it runs at full parallelism
+    return (widen_small_input(_t(spark, sf_dir, "documents"))
+            .select("doc_id", raw.alias("raw_url")))
 
 
 def _canonical_urls(spark, sf_dir) -> DataFrame:
@@ -292,9 +296,14 @@ def j1_bloom_pruned_anti_join(spark, sf_dir):
     never rows) — same oracle as j1_seen_anti_join, different plan."""
     from ..functions.urlnorm import filter_reason_col
     from ..operators.bloom import ShardedBloom
+    # pin the canonicalized candidate set: three consumers (filter build,
+    # bloom probe side, exact anti-join seen side) would otherwise each
+    # re-run the canonicalization UDF over the corpus (r6 measurement:
+    # canon ≈ 0.9 s/pass at sf1, 3 passes ≈ half the query)
     cand = (_canonical_urls(spark, sf_dir)
             .filter(filter_reason_col(F.col("url")).isNull())
-            .select("doc_id", "url"))
+            .select("doc_id", "url")
+            .localCheckpoint(eager=True))
     seen = cand.filter(F.col("doc_id") % 3 == 0).select("url")
     bloom = ShardedBloom(n_shards=8, bits_per_shard=1 << 17, num_hashes=5)
     bloom.add_urls(seen)
@@ -316,9 +325,11 @@ def j1_cuckoo_pruned_anti_join(spark, sf_dir):
     """
     from ..functions.urlnorm import filter_reason_col
     from ..operators.cuckoo import ShardedCuckoo
+    # pinned for the same multi-consumer reason as j1_bloom (4 consumers)
     cand = (_canonical_urls(spark, sf_dir)
             .filter(filter_reason_col(F.col("url")).isNull())
-            .select("doc_id", "url"))
+            .select("doc_id", "url")
+            .localCheckpoint(eager=True))
     inserted = cand.filter(F.col("doc_id") % 3 == 0)
     invalidated = inserted.filter(F.col("doc_id") % 5 == 0).select("url")
     seen = inserted.filter(F.col("doc_id") % 5 != 0).select("url")

@@ -159,11 +159,17 @@ def pages_df_from_documents(spark, sf_dir: str, limit: int | None = None):
     mapInPandas — the per-page build never leaves the executors)."""
     import pandas as pd
 
+    from ..operators.partitioning import widen_small_input
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
     if limit:
         docs = docs.filter(f"doc_id < {limit}")
         n_docs = min(n_docs, limit)
+    # the single-file documents table otherwise builds (and stores) the
+    # whole page table in 1-2 scan tasks — widen so the per-page build
+    # and every later per-round store stream run at full parallelism
+    docs = widen_small_input(docs)
 
     def build(batches):
         for pdf in batches:

@@ -61,10 +61,20 @@ def test_enrich_has_no_python(spark, pages_df):
 def test_text_analysis_is_jvm_only(spark):
     from crawler_seo_spark.operators.text import with_text_analysis
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    p = plan(with_text_analysis(docs))
+    out = with_text_analysis(docs)
+    p = plan(out)
     assert "Python" not in p and "Pandas" not in p
-    # '*(n)' marks whole-stage-codegen'd operators in executedPlan output
-    assert p.lstrip().startswith("*("), p[:120]
+    # '*(n)' marks whole-stage-codegen'd operators. r6 adds one
+    # input-widening round-robin exchange ahead of the projection (a
+    # tiny single-file scan otherwise runs the regex-heavy projection
+    # in one task — operators/partitioning.py), which makes the plan
+    # ADAPTIVE; AQE's pre-execution string hides the codegen markers,
+    # so execute THIS DataFrame's own query (collect finalizes its
+    # AdaptiveSparkPlan) and assert on the final plan.
+    out.collect()
+    p_final = plan(out)
+    assert "Python" not in p_final and "Pandas" not in p_final
+    assert "*(" in p_final, p_final[:200]
 
 
 def test_fetch_join_broadcasts_batch_not_store(spark, pages_df):

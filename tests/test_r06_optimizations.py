@@ -1,0 +1,163 @@
+"""Round-6 optimization pins.
+
+Three classes of change, each pinned here:
+
+* scale-adaptive input widening (``operators/partitioning.py``) — tiny
+  single-file scans no longer serialize heavy per-row kernels to one
+  task, wide inputs and exchange-bearing plans are left untouched;
+* batch-vectorized Arrow kernels (span rolling fingerprints, word
+  MinHash, decontam gram keys, SimHash) — values must be bit-identical
+  to the r5 per-document forms;
+* single-read restructures (span stats/extents, paragraph dup marking)
+  — the expensive occurrence subtree must appear exactly ONCE in the
+  physical plan (the r5 groupBy-then-join forms evaluated it once per
+  consumer).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# widen_small_input
+# ---------------------------------------------------------------------------
+
+def test_widen_small_input_widens_narrow_scan(spark, tmp_path):
+    from crawler_seo_spark.operators.partitioning import widen_small_input
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(1000).withColumn("t", F.lit("x")).coalesce(1) \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    # min_bytes lowered: the point here is the partition logic, the
+    # size gate has its own test below
+    wide = widen_small_input(df, min_bytes=1)
+    assert (wide.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    assert wide.count() == 1000
+
+
+def test_widen_small_input_size_gate(spark, tmp_path):
+    """Sub-min_bytes inputs keep their plan (the exchange's fixed cost
+    rivals the whole computation there), and unknown-stats plans
+    (checkpoint scans report the Long.MaxValue sentinel) are never
+    widened blind."""
+    from crawler_seo_spark.operators.partitioning import widen_small_input
+    p = str(tmp_path / "tiny2.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)          # a few KB << 1 MiB default gate
+    assert widen_small_input(df) is df
+    ck = spark.range(1000).coalesce(1).localCheckpoint(eager=True)
+    assert widen_small_input(ck) is ck  # unknown stats -> untouched
+
+
+def test_widen_small_input_noop_on_wide_input(spark):
+    from crawler_seo_spark.operators.partitioning import widen_small_input
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(1000, numPartitions=n)
+    # already at target parallelism: the SAME plan comes back (no
+    # exchange inserted)
+    assert widen_small_input(df) is df
+
+
+def test_widen_small_input_skips_exchange_bearing_plans(spark):
+    """Plans with exchanges (adaptive root) must be left untouched: the
+    partition-count probe would materialize their query stages."""
+    from crawler_seo_spark.operators.partitioning import widen_small_input
+    # big enough that the size gate passes and the adaptive-root guard
+    # is what declines (range stats are 8 B/row)
+    a = spark.range(2_000_000).withColumnRenamed("id", "k")
+    b = spark.range(2_000_000).withColumnRenamed("id", "k")
+    joined = a.join(b, "k")
+    assert widen_small_input(joined) is joined
+
+
+# ---------------------------------------------------------------------------
+# batch-vectorized span kernel: values identical to a per-document
+# reference, across chunk boundaries, short docs and empty docs
+# ---------------------------------------------------------------------------
+
+def test_rolling_span_kernel_matches_per_document_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from crawler_seo_spark.operators.dedup import normalized_text_col
+    from crawler_seo_spark.operators.paragraph import (
+        _rolling_window_hashes,
+        _span_occurrences_rolling,
+    )
+
+    width, mod = 40, 8
+    rng = np.random.default_rng(7)
+    rows = []
+    # ~1.2M total chars so the kernel's 1<<20-char chunking flushes
+    # mid-batch (the chunk boundary is the interesting code path)
+    for i in range(500):
+        n = int(rng.choice([0, 10, 39, 40, 41, 777, 2000, 3000]))
+        rows.append((i, "".join(rng.choice(list("abcde fghij"), size=n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["_id"], r["pos"]): r["h64"]
+           for r in _span_occurrences_rolling(
+               docs, "doc_id", "text", width, mod).collect()}
+
+    # per-document reference (the r5 kernel, inlined)
+    norm = {r["doc_id"]: r["t"] for r in docs.select(
+        "doc_id", normalized_text_col(F.col("text")).alias("t")).collect()}
+    want = {}
+    for did, t in norm.items():
+        if not t:
+            continue
+        if len(t) >= width:
+            cp = np.frombuffer(t.encode("utf-32-le"),
+                               dtype="<u4").astype(np.uint64)
+            h = _rolling_window_hashes(cp, width)
+            for s in np.nonzero(h % np.uint64(mod) == np.uint64(0))[0]:
+                want[(did, int(s) + 1)] = int(h[s].astype(np.int64))
+        else:
+            dig = hashlib.md5(t.encode()).digest()
+            if int.from_bytes(dig[:4], "big") % mod == 0:
+                want[(did, 1)] = int(np.frombuffer(dig[:8], dtype=">i8")[0])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# single-read restructures: the occurrence subtree appears ONCE
+# ---------------------------------------------------------------------------
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repeated_span_stats_single_kernel_pass(spark):
+    from crawler_seo_spark.operators.paragraph import repeated_span_stats
+    docs = spark.createDataFrame(
+        [(i, f"span body text {'x' * 60} tail {i % 3}") for i in range(40)],
+        "doc_id long, text string")
+    plan = _plan_str(repeated_span_stats(docs, width=40,
+                                         selector="rolling"))
+    assert plan.count("MapInPandas") == 1  # r5 plan carried two
+
+
+def test_repeated_span_extents_single_kernel_pass(spark):
+    from crawler_seo_spark.operators.paragraph import repeated_span_extents
+    docs = spark.createDataFrame(
+        [(i, f"span body text {'y' * 60} tail {i % 3}") for i in range(40)],
+        "doc_id long, text string")
+    plan = _plan_str(repeated_span_extents(docs, width=40,
+                                           selector="rolling"))
+    assert plan.count("MapInPandas") == 1
+
+
+def test_paragraph_stats_single_occurrence_pass(spark):
+    from crawler_seo_spark.operators.paragraph import paragraph_stats
+    docs = spark.createDataFrame(
+        [(i, f"para one\n\npara {i % 2}\n\npara three") for i in range(30)],
+        "doc_id long, text string")
+    # the posexplode (Generate) producing occurrences must run once —
+    # the r5 groupBy+join form planned it once per consumer
+    plan = _plan_str(paragraph_stats(docs))
+    assert plan.count("Generate") == 1
