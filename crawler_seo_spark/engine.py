@@ -809,20 +809,27 @@ class CrawlEngine:
                     self.spark, "seen", new_seen, on="url",
                     round_id=round_id, target=seen, assume_disjoint=True)
             else:
-                # In-memory mode: repartition pins the partition count
-                # (unions otherwise grow it every round) and hash-partitions
-                # on url so the next round's anti-joins are co-located.
-                # Big-path rounds reuse the dequeue ranking's complement
-                # (narrow filter over the pinned rank checkpoint); small
-                # rounds fall back to the broadcast anti-join.
+                # In-memory mode. Big-path rounds reuse the dequeue
+                # ranking's complement (narrow filter over the pinned rank
+                # checkpoint) and leave the merged frontier LAZY: both
+                # union inputs are narrow over this round's checkpoints
+                # (rank ckpt / seq ckpt), so lineage depth stays 1, and the
+                # next round's dequeue range-shuffles the frontier anyway —
+                # materializing it here would add a full frontier
+                # shuffle+pin job per round that the dequeue immediately
+                # re-arranges (r6: measured ~0.4 s/round at the 30k-batch
+                # bench shape, removed). Small-path rounds keep the
+                # broadcast anti-join + pin: their next dequeue is a
+                # TakeOrdered over the frontier, and without the pin the
+                # remaining-filter lineage would deepen every round.
                 if undequeued is not None:
-                    remaining = undequeued
+                    frontier = undequeued.unionByName(new_frontier)
                 else:
                     remaining = frontier.join(F.broadcast(dequeued_urls),
                                               "url", "left_anti")
-                frontier = (remaining.unionByName(new_frontier)
-                            .repartition(n_parts, "url")
-                            .localCheckpoint(eager=True))
+                    frontier = (remaining.unionByName(new_frontier)
+                                .repartition(n_parts, "url")
+                                .localCheckpoint(eager=True))
                 # seen grows as a lazy union of per-round parts — each part
                 # is narrow over an already-checkpointed round output, so
                 # lineage depth stays 1 and no extra materialization job
