@@ -24,6 +24,8 @@ Spark shapes (same discipline as the IVF family in
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -135,22 +137,29 @@ def pq_search(codes_df: DataFrame, codebook, queries: DataFrame, k: int = 5,
         query_id_col).collect()
     qids = [r[0] for r in q_rows]
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    lut = np.einsum("qbd,bkd->qbk", Q.reshape(len(Q), m, dsub), cb)
-    qnorm = np.sqrt((Q * Q).sum(1))
-    norm2 = (cb * cb).sum(2)                       # (m, k)
+    # Only the RAW query matrix is broadcast (O(n_q·dim)); the per-query
+    # lookup tables (O(n_q·m·k)) are derived executor-side, once per
+    # task (iterator UDF form) — the driver never materializes them, so
+    # the probe-set bound is the collect above (shared with
+    # brute_force_topk), not an m·k-times-larger LUT allocation. Same
+    # einsum ⇒ bit-identical scores.
     sc = codes_df.sparkSession.sparkContext
-    b_lut, b_n2, b_qn = (sc.broadcast(lut), sc.broadcast(norm2),
-                         sc.broadcast(qnorm))
+    b_q, b_cb = sc.broadcast(Q), sc.broadcast(cb)
 
     @F.pandas_udf("array<double>")
-    def scores(batch: pd.Series) -> pd.Series:
-        L, N2, QN = b_lut.value, b_n2.value, b_qn.value
-        C = np.vstack([np.asarray(c, dtype=np.int64) for c in batch])
-        ar = np.arange(C.shape[1])
-        ip = L[:, ar, C].sum(axis=2)               # (Q, N)
-        vn = np.sqrt(N2[ar, C].sum(axis=1))        # (N,)
-        s = ip / np.maximum(QN[:, None] * vn[None, :], 1e-12)
-        return pd.Series(list(np.round(s.T, 6)))
+    def scores(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        Qm, cbl = b_q.value, b_cb.value
+        mm, _, dd = cbl.shape
+        L = np.einsum("qbd,bkd->qbk", Qm.reshape(len(Qm), mm, dd), cbl)
+        N2 = (cbl * cbl).sum(2)                    # (m, k)
+        QN = np.sqrt((Qm * Qm).sum(1))
+        for batch in batches:
+            C = np.vstack([np.asarray(c, dtype=np.int64) for c in batch])
+            ar = np.arange(C.shape[1])
+            ip = L[:, ar, C].sum(axis=2)           # (Q, N)
+            vn = np.sqrt(N2[ar, C].sum(axis=1))    # (N,)
+            s = ip / np.maximum(QN[:, None] * vn[None, :], 1e-12)
+            yield pd.Series(list(np.round(s.T, 6)))
 
     qmap = F.array(*[F.lit(q) for q in qids])
     scored = (codes_df.select(F.col(id_col),
@@ -229,8 +238,9 @@ def ivfpq_search(codes_df: DataFrame, centroids, codebook,
 
     (blocks span disjoint coordinates, so the residual's norm is the
     plain per-block sum; the list↔block cross terms are the CLUT table).
-    Every table is O(n_lists·m·k) numpy, broadcast once — scoring never
-    reconstructs a vector. A (query, list) pair the query did NOT probe
+    Every table is O(n_lists·m·k) numpy, derived once per task from the
+    broadcast raw inputs — scoring never reconstructs a vector and the
+    driver never holds a LUT. A (query, list) pair the query did NOT probe
     is masked out, so results match a per-query probed scan exactly.
     Ties break to the lower vec_id (brute_force_topk contract)."""
     from pyspark.sql import Window
@@ -255,29 +265,40 @@ def ivfpq_search(codes_df: DataFrame, centroids, codebook,
     for qi in range(len(Q)):
         mask[qi, probe[qi]] = True
 
-    QC = Q @ C.T                                        # (Q, n_lists)
-    QLUT = np.einsum("qbd,bkd->qbk", Q.reshape(len(Q), m, dsub), cb)
-    CLUT = np.einsum("lbd,bkd->lbk", C.reshape(n_lists, m, dsub), cb)
-    CN2 = (C * C).sum(1)                                # (n_lists,)
-    N2 = (cb * cb).sum(2)                               # (m, k)
+    # Broadcast only the raw inputs (queries O(n_q·dim), centroids,
+    # codebook, probe mask); every lookup table — QC (n_q·n_lists), the
+    # per-query QLUT (n_q·m·k), CLUT, CN2, N2 — is built executor-side
+    # once per task. The r5 form collected the queries AND expanded the
+    # tables on the driver; now the driver's footprint is the query
+    # matrix + routing only, and broadcast bytes shrink by the m·k LUT
+    # factor. Same numpy expressions ⇒ bit-identical scores.
     sc = codes_df.sparkSession.sparkContext
-    b = sc.broadcast((QC, QLUT, CLUT, CN2, N2, qnorm, mask))
+    b = sc.broadcast((Q, C, cb, qnorm, mask))
 
     @F.pandas_udf("array<double>")
-    def scores(codes: pd.Series, lists: pd.Series) -> pd.Series:
-        QC_, QLUT_, CLUT_, CN2_, N2_, QN_, MASK_ = b.value
-        Cd = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
-        ls = lists.to_numpy()
-        ar = np.arange(Cd.shape[1])
-        r_ip = QLUT_[:, ar, Cd].sum(axis=2)             # (Q, N)
-        ip = QC_[:, ls] + r_ip
-        v2 = (CN2_[ls]
-              + 2.0 * CLUT_[ls[:, None], ar[None, :], Cd].sum(axis=1)
-              + N2_[ar, Cd].sum(axis=1))                # (N,)
-        s = ip / np.maximum(QN_[:, None] * np.sqrt(np.maximum(v2, 0.0)),
-                            1e-12)
-        s = np.where(MASK_[:, ls], s, -np.inf)
-        return pd.Series(list(np.round(s.T, 6)))
+    def scores(batches: Iterator[tuple[pd.Series, pd.Series]]) \
+            -> Iterator[pd.Series]:
+        Q_, C_, cb_, QN_, MASK_ = b.value
+        nq, nl = len(Q_), len(C_)
+        mm, _, dd = cb_.shape
+        QC_ = Q_ @ C_.T                                 # (Q, n_lists)
+        QLUT_ = np.einsum("qbd,bkd->qbk", Q_.reshape(nq, mm, dd), cb_)
+        CLUT_ = np.einsum("lbd,bkd->lbk", C_.reshape(nl, mm, dd), cb_)
+        CN2_ = (C_ * C_).sum(1)                         # (n_lists,)
+        N2_ = (cb_ * cb_).sum(2)                        # (m, k)
+        for codes, lists in batches:
+            Cd = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+            ls = lists.to_numpy()
+            ar = np.arange(Cd.shape[1])
+            r_ip = QLUT_[:, ar, Cd].sum(axis=2)         # (Q, N)
+            ip = QC_[:, ls] + r_ip
+            v2 = (CN2_[ls]
+                  + 2.0 * CLUT_[ls[:, None], ar[None, :], Cd].sum(axis=1)
+                  + N2_[ar, Cd].sum(axis=1))            # (N,)
+            s = ip / np.maximum(QN_[:, None]
+                                * np.sqrt(np.maximum(v2, 0.0)), 1e-12)
+            s = np.where(MASK_[:, ls], s, -np.inf)
+            yield pd.Series(list(np.round(s.T, 6)))
 
     qmap = F.array(*[F.lit(q) for q in qids])
     scored = (codes_df.filter(F.col("ivf_list").isin(probed_union))

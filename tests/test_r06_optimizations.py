@@ -161,3 +161,32 @@ def test_paragraph_stats_single_occurrence_pass(spark):
     # the r5 groupBy+join form planned it once per consumer
     plan = _plan_str(paragraph_stats(docs))
     assert plan.count("Generate") == 1
+
+
+def test_ivfpq_search_large_probe_set_executor_luts(spark):
+    """The ADC lookup tables are built executor-side from the broadcast
+    raw query matrix — a probe set this size (1,500 queries) would have
+    cost the driver a 1500·m·k LUT + QC + mask allocation under the r5
+    driver-side build; now the driver holds only the raw vectors. Exact
+    per-query correctness is pinned by the small-set recall tests (the
+    numpy expressions are identical); this pins the large-set path's
+    shape: every query returns exactly k ranked rows from its probed
+    lists."""
+    import numpy as np
+
+    from crawler_seo_spark.operators.quantization import (
+        ivfpq_build, ivfpq_search)
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((400, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>")
+    codes, cents, cb = ivfpq_build(df, n_lists=8, m=4, k=16, n_iters=1)
+    queries = spark.createDataFrame(
+        [(int(1000 + i), [float(x) for x in rng.standard_normal(16)])
+         for i in range(1500)],
+        "query_id long, embedding array<float>")
+    got = ivfpq_search(codes, cents, cb, queries, k=3, nprobe=8).toPandas()
+    assert len(got) == 1500 * 3
+    per_q = got.groupby("query_id")["rank"].apply(sorted)
+    assert all(list(r) == [1, 2, 3] for r in per_q)
