@@ -64,8 +64,8 @@ def word_ngrams_col(text: Column, n: int) -> Column:
     # finding): a whitespace-only document must yield NO grams on either
     # key path (split("") produces [""], which at n=1 became one ''-gram
     # here while the hash path produced none)
-    return _grams(F.filter(F.split(normalized_text_col(text), " "),
-                           lambda t: t != ""))
+    return _grams(F.array_remove(F.split(normalized_text_col(text), " "),
+                                 ""))
 
 
 def word_ngram_keys_col(text: Column, n: int) -> Column:
@@ -86,8 +86,7 @@ def word_ngram_keys_col(text: Column, n: int) -> Column:
     31-bit token space would put gram collisions at 2^-31-scale, ~10^9×
     the stated bound), then the n-token windowed polynomial combine +
     splitmix finalize runs vectorized in numpy over Arrow batches."""
-    toks = F.filter(F.split(normalized_text_col(text), " "),
-                    lambda t: t != "")
+    toks = F.array_remove(F.split(normalized_text_col(text), " "), "")
     tok = F.transform(toks, lambda t: F.xxhash64(t, F.lit(42)))
 
     # Batch form (r6): one windowed polynomial combine over the batch's

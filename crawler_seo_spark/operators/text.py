@@ -118,8 +118,10 @@ def fingerprint_col(text: Column) -> Column:
     """Content fingerprint: md5 of the casefolded, punctuation-stripped,
     whitespace-collapsed text — the exact-dedup key that survives
     formatting noise."""
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " "), r"\s+", " "))
+    # one regex pass: [^\p{L}\p{N}]+ already collapses whitespace runs
+    # to one space (see dedup.normalized_text_col — the historical second
+    # \s+ pass was a provable identity; output byte-identical)
+    norm = F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " "))
     return F.md5(norm)
 
 
@@ -359,9 +361,10 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text",
 
     from .partitioning import widen_small_input
     df = widen_small_input(df)
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)),
-                         r"[^\p{L}\p{N}]+", " "), r"\s+", " "))
+    # single-pass normalization — identical output to the historical
+    # two-pass chain (see dedup.normalized_text_col)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"[^\p{L}\p{N}]+", " "))
     out = df.withColumn("_s", signals(F.col(text_col), norm))
     for f in ("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
               "dup_para_char_frac", "top2gram_char_frac",

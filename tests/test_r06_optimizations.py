@@ -277,3 +277,39 @@ def test_gopher_repetition_vectorized_matches_reference(spark):
         ref = ref_signals(t, norms[i])
         for c, rv in zip(cols, ref):
             assert got[i][c] == rv, (i, c, got[i][c], rv)
+
+
+def test_single_pass_normalization_identical_to_two_pass(spark):
+    """r6 dropped the second regexp_replace(\\s+ -> " ") of the
+    normalization chain: the first pass [^\\p{L}\\p{N}]+ already consumes
+    every whitespace character (whitespace is neither letter nor number)
+    and emits ONE space per maximal run, so the second pass could only
+    ever rewrite single spaces to single spaces. This pins byte-equality
+    of the old and new chains — and of the array_remove vs
+    filter(t != "") tokenizations — over adversarial unicode."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "", " ", "\t\r\n\x0b\x0c", "a  b\t\tc\r\nd",
+        "Héllo—wörld… №5 ½ⅷ",            # letterlike/numberlike unicode
+        "多言語　テキスト　です",        # ideographic space U+3000
+        "a b c d",          # nbsp + line/para separators
+        "MiXeD    CaSe!!!##$$ 123",
+        "ends with space ", "  starts",
+        "٠١٢ arabic digits", "emoji 😀🚀 text",
+        "tab\tsep\tvals", "a-b_c.d,e;f:g",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    two_pass = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("t")), r"[^\p{L}\p{N}]+", " "),
+        r"\s+", " "))
+    from crawler_seo_spark.operators.dedup import normalized_text_col
+    one_pass = normalized_text_col(F.col("t"))
+    old_toks = F.filter(F.split(two_pass, " "), lambda x: x != "")
+    new_toks = F.array_remove(F.split(one_pass, " "), "")
+    rows = df.select("i", two_pass.alias("a"), one_pass.alias("b"),
+                     old_toks.alias("ta"), new_toks.alias("tb")).collect()
+    for r in rows:
+        assert r["a"] == r["b"], (r["i"], r["a"], r["b"])
+        assert r["ta"] == r["tb"], (r["i"], r["ta"], r["tb"])
