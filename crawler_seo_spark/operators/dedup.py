@@ -361,7 +361,17 @@ def guarded_band_pairs(banded: DataFrame, id_col: str,
         logging.getLogger(__name__).info(
             "banded self-join guarded: buckets > %d rows take the "
             "linear star path (see hot_bucket_observation)", max_bucket)
+    # Join strategy: NEVER broadcast — the build side of this self-join IS
+    # the probe side (same banded relation), so a broadcast ships a full
+    # copy of the corpus' banded rows to every task and rebuilds the hashed
+    # relation on every action; at 10^9 docs it cannot broadcast at all.
+    # Both sides shuffle on the same key, and identical subtrees share ONE
+    # exchange (ReusedExchange). With max_bucket set, per-key populations
+    # are bounded, so the per-partition hash build is bounded too →
+    # SHUFFLE_HASH (no sort). Unguarded buckets can be arbitrarily large →
+    # MERGE (sort-merge spills gracefully).
     l, r = normal.alias("l"), normal.alias("r")
+    r = r.hint("SHUFFLE_HASH" if max_bucket is not None else "MERGE")
     pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
                     & (F.col("l.band_key") == F.col("r.band_key"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
