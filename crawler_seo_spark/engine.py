@@ -819,17 +819,25 @@ class CrawlEngine:
                 # shuffle+pin job per round that the dequeue immediately
                 # re-arranges (r6: measured ~0.4 s/round at the 30k-batch
                 # bench shape, removed). Small-path rounds keep the
-                # broadcast anti-join + pin: their next dequeue is a
-                # TakeOrdered over the frontier, and without the pin the
-                # remaining-filter lineage would deepen every round.
+                # broadcast anti-join but leave the merged frontier LAZY
+                # too, compacting every seen_compact_every rounds like the
+                # seen set: between compactions the next dequeue's
+                # TakeOrdered re-evaluates ≤K stacked anti-join layers,
+                # each narrow over pinned inputs (the round's batch ckpt
+                # broadcasts, the seq ckpt unions), so lineage depth is
+                # bounded by the cadence instead of growing per round —
+                # and the per-round full-frontier shuffle+pin job is gone
+                # (r6 session 3: ~0.3 s/round at the 800-batch bench
+                # shape).
                 if undequeued is not None:
                     frontier = undequeued.unionByName(new_frontier)
                 else:
                     remaining = frontier.join(F.broadcast(dequeued_urls),
                                               "url", "left_anti")
-                    frontier = (remaining.unionByName(new_frontier)
-                                .repartition(n_parts, "url")
-                                .localCheckpoint(eager=True))
+                    frontier = remaining.unionByName(new_frontier)
+                    if (round_id + 1) % cfg.seen_compact_every == 0:
+                        frontier = (frontier.repartition(n_parts, "url")
+                                    .localCheckpoint(eager=True))
                 # seen grows as a lazy union of per-round parts — each part
                 # is narrow over an already-checkpointed round output, so
                 # lineage depth stays 1 and no extra materialization job
