@@ -562,7 +562,12 @@ class CrawlEngine:
                                      + F.lit(results_count).cast("long"))
                          .withColumn("round", F.lit(round_id)))
             if pin_batch:
-                batch = batch.localCheckpoint(eager=True)
+                # lazy pin: the fetch stage's broadcast build is the first
+                # consumer and materializes the checkpoint inside its own
+                # job — the pin still cuts lineage and is reused by
+                # _fill_missing and the frontier delete, without paying a
+                # separate per-round driver barrier for it
+                batch = batch.localCheckpoint(eager=False)
             # no count() job: the dequeue takes exactly min(budget, frontier)
             # rows — frontier_count is exact by arithmetic (unique urls).
             batch_count = min(budget, frontier_count)
