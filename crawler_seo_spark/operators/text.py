@@ -125,22 +125,52 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(norm)
 
 
+# Expression-forest cache for with_text_analysis: the added columns
+# reference nothing but the text column, so the ~0.5 s of py4j chatter
+# building them (profiled at sf1: more than a third of the query's wall
+# time) is paid once per (SparkContext, text_col) instead of per call.
+# Expressions only — every call still plans/executes on its own input.
+_TA_CACHE: tuple | None = None
+
+
+def _text_analysis_cols(sc, text_col: str) -> list:
+    global _TA_CACHE
+    if (_TA_CACHE is None or _TA_CACHE[0] is not sc
+            or _TA_CACHE[1] != text_col):
+        t = F.col(text_col)
+        cols = [col.alias(name) for name, col in quality_columns(t).items()]
+        cols += [language_id_col(t).alias("lang_id"),
+                 subword_estimate_col(t).alias("subword_tokens"),
+                 quality_score_col(t).alias("quality_score"),
+                 fingerprint_col(t).alias("fingerprint")]
+        _TA_CACHE = (sc, text_col, cols)
+    return _TA_CACHE[2]
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column set. The projection is
     regex-heavy per row, so a tiny single-file input is widened first
     (guide §2.5 — otherwise the whole pass runs in one scan task)."""
     from .partitioning import widen_small_input
     df = widen_small_input(df)
-    t = F.col(text_col)
-    q = quality_columns(t)
-    out = df
-    for name, col in q.items():
-        out = out.withColumn(name, col)
-    return (out
-            .withColumn("lang_id", language_id_col(t))
-            .withColumn("subword_tokens", subword_estimate_col(t))
-            .withColumn("quality_score", quality_score_col(t))
-            .withColumn("fingerprint", fingerprint_col(t)))
+    cols = _text_analysis_cols(df.sparkSession.sparkContext, text_col)
+    added = ("n_chars_m", "n_tokens", "punct_ratio", "digit_ratio",
+             "upper_ratio", "mean_token_len", "stopword_hits", "lang_id",
+             "subword_tokens", "quality_score", "fingerprint")
+    if any(n in df.columns for n in added):
+        # collision with an existing column: SELECT *,… would duplicate
+        # the name where withColumn replaces it — keep the replace
+        # semantics on that (rare) path
+        out = df
+        t = F.col(text_col)
+        for name, col in quality_columns(t).items():
+            out = out.withColumn(name, col)
+        return (out
+                .withColumn("lang_id", language_id_col(t))
+                .withColumn("subword_tokens", subword_estimate_col(t))
+                .withColumn("quality_score", quality_score_col(t))
+                .withColumn("fingerprint", fingerprint_col(t)))
+    return df.select("*", *cols)
 
 
 # ---------------------------------------------------------------------------
