@@ -313,3 +313,103 @@ def test_single_pass_normalization_identical_to_two_pass(spark):
     for r in rows:
         assert r["a"] == r["b"], (r["i"], r["a"], r["b"])
         assert r["ta"] == r["tb"], (r["i"], r["ta"], r["tb"])
+
+
+# ---------------------------------------------------------------------------
+# session 3: band self-join strategy, lazy frontier merge, forest caches
+# ---------------------------------------------------------------------------
+
+def test_band_self_join_never_broadcasts_the_corpus(spark):
+    """The band self-join's build side IS the probe side, so broadcasting
+    it ships a full corpus copy per task and cannot work at 10^9 docs:
+    uncapped must plan a sort-merge join, capped a shuffled-hash join —
+    never a broadcast of the banded relation."""
+    from crawler_seo_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text body number "),
+                 F.col("id").cast("string")).alias("text"))
+    sigs = minhash_signatures(docs, k=8).localCheckpoint(eager=True)
+    uncapped = _plan_str(lsh_candidate_pairs(sigs, bands=4))
+    assert "SortMergeJoin" in uncapped, uncapped
+    assert "BroadcastHashJoin" not in uncapped, uncapped
+    capped = _plan_str(lsh_candidate_pairs(sigs, bands=4, max_bucket=16))
+    assert "ShuffledHashJoin" in capped, capped
+
+
+def test_small_path_frontier_compaction_cadence_preserves_crawl(spark):
+    """The lazily-merged small-path frontier must produce the identical
+    crawl whether compaction fires every round or never fires within
+    the run (seen_compact_every both below and above the round count)."""
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.sources.from_documents import (
+        SEED_URL, doc_url, pages_df_from_documents)
+    pages = pages_df_from_documents(
+        spark, "/root/testdata/sf0.001", limit=300) \
+        .localCheckpoint(eager=True)
+    seeds = [doc_url(i) for i in range(0, 300, 10)]
+
+    def crawl(compact_every):
+        cfg = CrawlConfig(seed_url=SEED_URL, seed_urls=seeds,
+                          max_urls=120, batch_size=20,
+                          seen_compact_every=compact_every)
+        st = CrawlEngine(spark, pages, cfg).run()
+        order = [(r["crawl_seq"], r["url"]) for r in
+                 st.crawl_order.orderBy("crawl_seq").collect()]
+        frontier = sorted(r["url"] for r in st.frontier.collect())
+        seen = sorted(r["url"] for r in st.seen.collect())
+        return order, frontier, seen
+
+    # 6 rounds: cadence 1 compacts every round, cadence 100 never
+    assert crawl(1) == crawl(100)
+
+
+def test_text_analysis_forest_cache_consistent_and_collision_safe(spark):
+    """Cached-forest replay must equal a fresh build, and an input that
+    already carries one of the added names must keep withColumn replace
+    semantics (no duplicate column)."""
+    from crawler_seo_spark.operators import text as text_mod
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("Some Text 42 with UPPER and 7 digits "),
+                 F.col("id").cast("string")).alias("text"))
+    text_mod._TA_CACHE = None
+    fresh = text_mod.with_text_analysis(docs)
+    again = text_mod.with_text_analysis(docs)   # cached replay
+    assert fresh.columns == again.columns
+    assert (sorted(map(tuple, fresh.collect()))
+            == sorted(map(tuple, again.collect())))
+    # collision path: pre-existing 'fingerprint' column is REPLACED
+    clash = docs.withColumn("fingerprint", F.lit("old"))
+    out = text_mod.with_text_analysis(clash)
+    assert out.columns.count("fingerprint") == 1
+    row = out.limit(1).collect()[0]
+    assert row["fingerprint"] != "old"
+
+
+def test_enrich_forest_cache_replay_equals_fresh_build(spark):
+    """enrich_results with a warm expression cache must produce the same
+    rows as with a cold one (expressions are cached, data never is)."""
+    import pandas as pd
+    from crawler_seo_spark.config import CrawlConfig
+    from crawler_seo_spark.engine import CrawlEngine
+    from crawler_seo_spark.plans import enrich as enrich_mod
+    from crawler_seo_spark.sources.synthetic_site import SEED_URL, build_site
+    store = build_site(40, n_images=0)
+    pages = spark.createDataFrame(
+        pd.DataFrame(list(store.values())), schema=(
+            "url string, page_index int, status_code int, "
+            "content_type string, final_url string, "
+            "response_time_ms double, content_length long, html string, "
+            "headers map<string,string>, image_ids array<string>"))
+    state = CrawlEngine(spark, pages, CrawlConfig(
+        seed_url=SEED_URL, max_urls=20, batch_size=10)).run()
+    enrich_mod._STAGE_CACHE = None
+    cold = enrich_mod.enrich_results(state.results)
+    warm = enrich_mod.enrich_results(state.results)
+    assert cold.columns == warm.columns
+    a = sorted(map(str, cold.collect()))
+    b = sorted(map(str, warm.collect()))
+    assert a == b
