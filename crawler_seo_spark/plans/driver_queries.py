@@ -191,6 +191,15 @@ def _canonical_urls(spark, sf_dir) -> DataFrame:
     def canon(urls: pd.Series) -> pd.Series:
         return canonicalize_series(urls, None, "shop.example.test")
 
+    # asNondeterministic: the optimizer pushes downstream filters (the
+    # relevance predicate in o1/o2/j1/j2) BELOW the projection that
+    # computes `url`, then re-evaluates the UDF above it — the plan grew
+    # TWO ArrowEvalPython nodes and every URL query paid the canon pass
+    # twice (guide §4.4; measured +0.9 s at sf1). The function is in
+    # fact deterministic — the marker only forbids the duplicating
+    # rewrite, so results are unchanged.
+    canon = canon.asNondeterministic()
+
     return (_raw_urls(spark, sf_dir)
             .withColumn("url", canon(F.col("raw_url"))))
 

@@ -413,3 +413,18 @@ def test_enrich_forest_cache_replay_equals_fresh_build(spark):
     a = sorted(map(str, cold.collect()))
     b = sorted(map(str, warm.collect()))
     assert a == b
+
+
+def test_canonicalize_udf_evaluated_once_under_filter(spark):
+    """A filter on the UDF-computed url column must not duplicate the
+    canonicalization pass (guide §4.4: the optimizer pushes the filter
+    below the projection and re-evaluates the UDF unless it is marked
+    non-deterministic)."""
+    from crawler_seo_spark.functions.urlnorm import filter_reason_col
+    from crawler_seo_spark.plans import driver_queries as dq
+    df = (dq._canonical_urls(spark, "/root/testdata/sf0.001")
+          .filter(filter_reason_col(F.col("url")).isNull())
+          .select("doc_id", "url"))
+    p = _plan_str(df)
+    n_eval = p.count("ArrowEvalPython") + p.count("BatchEvalPython")
+    assert n_eval == 1, p
