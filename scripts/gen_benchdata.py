@@ -14,7 +14,8 @@ driver's escalated scale stay like-for-like:
   marginal (the sf0.1 labels carry no cluster structure - verified:
   within-label cosine ~= between-label cosine ~= 0).
 
-Usage: python scripts/gen_benchdata.py [OUT_DIR]   (default /tmp/benchdata/sf1.0)
+Usage: python scripts/gen_benchdata.py [OUT_DIR] [TILE]
+       (defaults: /tmp/benchdata/sf1.0, tile 10 — tile 30 ~= an sf3 tier)
 
 This is a measurement aid only - bench.py itself is frozen and reads
 SPARK_GRAFT_SF_DIR; nothing in the engine references this script.
@@ -32,7 +33,7 @@ import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.1")
 OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/benchdata/sf1.0")
-TILE = 10
+TILE = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 SEED = 42
 
 
